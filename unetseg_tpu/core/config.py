@@ -1,0 +1,171 @@
+"""Typed configuration for the whole framework.
+
+The reference keeps configuration as module-level constants scattered across
+scripts (reference: scripts/train.py:22-36, scripts/track.py:8-24,
+scripts/predict.py:28-54, scripts/preprocess_data.py:14-15; its config.py is an
+empty stub). Here a single tree of frozen dataclasses carries every knob, with
+defaults that mirror the reference values exactly, and every CLI entry point
+maps flags onto this tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """U-Net architecture (reference: models/unet_model.py:65-85)."""
+
+    in_channels: int = 1
+    # The reference trains with n_classes=2 + softmax CE (scripts/train.py:93)
+    # but some of its scripts build n_classes=1 + sigmoid — a documented defect
+    # (SURVEY.md §2). We standardise on 2 everywhere; 1 remains supported.
+    num_classes: int = 2
+    base_features: int = 64          # channels double each level: 64..1024
+    levels: int = 5                  # encoder depth incl. bottleneck
+    bilinear: bool = False           # False => transposed-conv up path (reference default)
+    # Numerics policy: params are always fp32; compute dtype is configurable.
+    compute_dtype: str = "bfloat16"  # "bfloat16" | "float32"
+    bn_momentum: float = 0.9         # flax convention; == torch momentum 0.1
+    bn_epsilon: float = 1e-5
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset layout & augmentation (reference: utils/dataset.py,
+    utils/augmentations.py, scripts/preprocess_data.py)."""
+
+    data_root: str = "./data/raw/train/DIC-C2DH-HeLa"
+    sequence: str = "01"
+    val_percent: float = 0.1
+    augment: bool = True
+    elastic_alpha: float = 2000.0    # scripts/train.py:35
+    elastic_sigma: float = 20.0      # scripts/train.py:36
+    # Weight-map parameters (scripts/preprocess_data.py:14-15)
+    w0: float = 10.0
+    sigma_w: float = 5.0
+    image_size: int = 512            # training / predict resize target
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training loop (reference: scripts/train.py:22-36,97)."""
+
+    batch_size: int = 4
+    num_epochs: int = 20
+    learning_rate: float = 1e-4
+    momentum: float = 0.99
+    checkpoint_dir: str = "./checkpoints"
+    save_checkpoint: bool = True
+    keep_best_k: int = 3
+    seed: int = 0
+    log_every: int = 1               # steps between metric log lines
+    metrics_jsonl: Optional[str] = None  # optional metrics JSONL path
+    resume: bool = False             # resume from latest checkpoint if present
+    donate_state: bool = True        # donate train-state buffers to the step
+
+
+@dataclass(frozen=True)
+class InferConfig:
+    """Inference (reference: scripts/inference.py, scripts/predict.py; plus the
+    overlap-tile engine the reference only advertises)."""
+
+    image_size: int = 512
+    threshold: float = 0.5
+    normalize_mean: float = 0.5      # scripts/predict.py:53
+    normalize_std: float = 0.5
+    normalize: bool = True           # predict.py normalizes; inference.py does not
+    min_cell_size: int = 15          # scripts/predict.py:47
+    tile_input: int = 512            # overlap-tile input tile size
+    tile_batch: int = 8              # tiles per device batch
+
+
+@dataclass(frozen=True)
+class TrackConfig:
+    """Tracker thresholds (reference: scripts/track.py:21-24)."""
+
+    iou_threshold_track: float = 0.3
+    iou_threshold_division: float = 0.1
+    max_children: int = 2
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation (reference: scripts/evaluate.py, utils/metrics.py,
+    EvaluationSoftware/)."""
+
+    threshold: float = 0.5
+    penalize_extra_detections: bool = True  # DET FP weight on/off
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Named device mesh. The reference has no distributed code at all
+    (SURVEY.md §2 'Parallelism inventory'); this is the TPU-native equivalent:
+    batch-axis data parallelism and tile-axis sharding over ICI."""
+
+    data_axis: str = "data"
+    tile_axis: str = "tile"
+    model_axis: str = "model"
+    # -1 => use all available devices on that axis
+    data_parallel: int = -1
+    tile_parallel: int = 1
+    model_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    infer: InferConfig = field(default_factory=InferConfig)
+    track: TrackConfig = field(default_factory=TrackConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ------------------------------------------------------------------ utils
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, indent: int = 2) -> str:
+        return json.dumps(self.to_dict(), indent=indent)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        def build(tp, sub):
+            fields = {f.name: f for f in dataclasses.fields(tp)}
+            kw = {}
+            for k, v in sub.items():
+                if k not in fields:
+                    raise KeyError(f"unknown config key {tp.__name__}.{k}")
+                ft = fields[k].type
+                if isinstance(v, dict):
+                    kw[k] = build(_SECTION_TYPES[k], v)
+                else:
+                    kw[k] = v
+            return tp(**kw)
+
+        return build(cls, d)
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+_SECTION_TYPES = {
+    "model": ModelConfig,
+    "data": DataConfig,
+    "train": TrainConfig,
+    "infer": InferConfig,
+    "track": TrackConfig,
+    "eval": EvalConfig,
+    "mesh": MeshConfig,
+}
