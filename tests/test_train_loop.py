@@ -1,0 +1,106 @@
+"""End-to-end tiny training loop: runs epochs, checkpoints best, resumes."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from unetseg_tpu.core.config import (
+    Config,
+    DataConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from unetseg_tpu.data.dataset import HeLaArrays
+from unetseg_tpu.train import checkpoint as ckpt
+from unetseg_tpu.train.loop import train
+from unetseg_tpu.train.state import create_train_state
+
+TINY_MODEL = ModelConfig(compute_dtype="float32", base_features=4)
+SIZE = 188
+
+
+@pytest.fixture
+def tiny_tree(tmp_path):
+    root = tmp_path / "HeLa"
+    (root / "01").mkdir(parents=True)
+    (root / "01_ST" / "SEG").mkdir(parents=True)
+    (root / "01_ST" / "WEIGHT_MAPS").mkdir(parents=True)
+    rs = np.random.RandomState(0)
+    for i in range(6):
+        Image.fromarray((rs.rand(SIZE, SIZE) * 255).astype(np.uint8)).save(
+            root / "01" / f"t{i:03d}.tif"
+        )
+        m = np.zeros((SIZE, SIZE), np.uint16)
+        m[40:90, 40:90] = 1
+        m[110:150, 100:160] = 2
+        Image.fromarray(m).save(root / "01_ST" / "SEG" / f"man_seg{i:03d}.tif")
+        np.save(
+            root / "01_ST" / "WEIGHT_MAPS" / f"weight_map_{i:03d}.npy",
+            np.ones((SIZE, SIZE), np.float64),
+        )
+    return str(root)
+
+
+def _cfg(tiny_tree, tmp_path, epochs=2, augment=False):
+    return Config(
+        model=TINY_MODEL,
+        data=DataConfig(
+            data_root=tiny_tree, sequence="01", val_percent=0.34, augment=augment
+        ),
+        train=TrainConfig(
+            batch_size=2,
+            num_epochs=epochs,
+            checkpoint_dir=str(tmp_path / "ckpts"),
+            log_every=100,
+            donate_state=False,
+        ),
+    )
+
+
+def test_train_two_epochs_and_checkpoint(tiny_tree, tmp_path):
+    cfg = _cfg(tiny_tree, tmp_path)
+    result = train(cfg)
+    assert len(result.history) == 2
+    assert result.best_epoch >= 0
+    assert np.isfinite(result.best_val_loss)
+    # checkpoint exists and is restorable
+    latest = ckpt.latest_epoch(cfg.train.checkpoint_dir)
+    assert latest is not None
+    template = create_train_state(
+        jax.random.key(0), model_cfg=TINY_MODEL, train_cfg=cfg.train, input_size=SIZE
+    )
+    restored, epoch, extra = ckpt.restore_checkpoint(
+        cfg.train.checkpoint_dir, template
+    )
+    assert epoch == latest
+    assert extra["config"]["train"]["batch_size"] == 2
+    # restored params equal trained params
+    a = jax.tree.leaves(result.state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues(tiny_tree, tmp_path):
+    cfg = _cfg(tiny_tree, tmp_path, epochs=1)
+    train(cfg)
+    cfg2 = _cfg(tiny_tree, tmp_path, epochs=2)
+    cfg2 = Config(
+        model=cfg2.model,
+        data=cfg2.data,
+        train=TrainConfig(
+            **{**cfg2.train.__dict__, "resume": True}
+        ),
+    )
+    result = train(cfg2)
+    # only epoch 1 runs on resume
+    assert len(result.history) == 1
+
+
+def test_max_steps_cutoff(tiny_tree, tmp_path):
+    cfg = _cfg(tiny_tree, tmp_path, epochs=5)
+    result = train(cfg, max_steps=3)
+    assert int(result.state.step) == 3

@@ -79,6 +79,64 @@ def upsample_bilinear_align_corners(x: jnp.ndarray, factor: int = 2) -> jnp.ndar
     return out
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over (N, H, W) with an optional per-item validity mask.
+
+    Batches are padded to a static size for jit (see data/dataset.py); plain
+    BatchNorm would fold the padding items into the batch statistics. This
+    norm weights the statistics by `item_mask` so padded items are inert,
+    and with a full mask it is exactly standard BatchNorm. Statistics are
+    computed and stored in fp32; running variance uses torch's unbiased
+    update (n/(n-1)) for behavioral parity with the reference's
+    nn.BatchNorm2d (reference: models/unet_model.py:12,16).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        use_running_average: bool,
+        item_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            if item_mask is None:
+                mean = jnp.mean(xf, axis=(0, 1, 2))
+                var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+                n = jnp.float32(x.shape[0] * x.shape[1] * x.shape[2])
+            else:
+                w = item_mask.astype(jnp.float32)[:, None, None, None]
+                n = jnp.maximum(jnp.sum(w) * x.shape[1] * x.shape[2], 1.0)
+                mean = jnp.sum(xf * w, axis=(0, 1, 2)) / n
+                var = jnp.sum(jnp.square(xf - mean) * w, axis=(0, 1, 2)) / n
+            if not self.is_initializing():
+                unbias = n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var * unbias
+                )
+
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
 class DoubleConv(nn.Module):
     """(valid 3x3 conv -> BN -> ReLU) x2 (reference: models/unet_model.py:5-21).
 
@@ -92,7 +150,12 @@ class DoubleConv(nn.Module):
     bn_epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        item_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         for i in range(2):
             x = nn.Conv(
                 self.features,
@@ -105,14 +168,11 @@ class DoubleConv(nn.Module):
                 bias_init=nn.initializers.zeros,
                 name=f"conv{i}",
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
+            x = MaskedBatchNorm(
                 momentum=self.bn_momentum,
                 epsilon=self.bn_epsilon,
-                dtype=jnp.float32,
-                param_dtype=jnp.float32,
                 name=f"bn{i}",
-            )(x)
+            )(x, use_running_average=not train, item_mask=item_mask)
             x = nn.relu(x).astype(self.compute_dtype)
         return x
 
@@ -128,7 +188,12 @@ class UNet(nn.Module):
         return tuple(self.cfg.base_features * (2**i) for i in range(self.cfg.levels))
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        item_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         feats = self.encoder_features
@@ -146,7 +211,7 @@ class UNet(nn.Module):
                 bn_momentum=cfg.bn_momentum,
                 bn_epsilon=cfg.bn_epsilon,
                 name=f"enc{lvl}",
-            )(x, train=train)
+            )(x, train=train, item_mask=item_mask)
             skips.append(x)
 
         # ---------------------------------------------------------- decoder
@@ -179,7 +244,7 @@ class UNet(nn.Module):
                 bn_momentum=cfg.bn_momentum,
                 bn_epsilon=cfg.bn_epsilon,
                 name=f"dec{i}",
-            )(x, train=train)
+            )(x, train=train, item_mask=item_mask)
 
         # 1x1 output conv (reference: models/unet_model.py:56-63). Logits in
         # fp32 — the loss and argmax want full precision.

@@ -1,0 +1,122 @@
+"""On-device elastic deformation.
+
+The reference deforms on the host per item with scipy — random uniform fields
+-> gaussian_filter(sigma, mode='constant') -> x alpha -> map_coordinates
+(order=1/bilinear for the image, order=0/nearest for the mask, mode='reflect')
+(reference: utils/augmentations.py:4-39, defaults alpha=2000 sigma=20 from
+scripts/train.py:35-36). That host loop dominates the reference's training
+wall-clock (SURVEY.md §3.1 'HOT (CPU)').
+
+Here the whole thing is a jit-compiled displacement-field gather that runs
+inside the training step on device: the Gaussian blur is two separable 1D
+convolutions, sampling uses jax.scipy.ndimage.map_coordinates with the same
+order/mode semantics, and randomness is a `jax.random` key, so augmentation is
+deterministic per (key, item) and costs no host<->device transfer.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> jnp.ndarray:
+    """Discrete Gaussian identical to scipy.ndimage.gaussian_filter1d's
+    (order 0): radius = int(truncate * sigma + 0.5), normalized to sum 1."""
+    radius = int(truncate * float(sigma) + 0.5)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / float(sigma)) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur_2d(
+    img: jnp.ndarray, sigma: float, truncate: float = 4.0
+) -> jnp.ndarray:
+    """Separable Gaussian blur of a (H, W) array, zero ('constant') boundary —
+    matches scipy gaussian_filter(mode='constant', cval=0)."""
+    k = gaussian_kernel1d(sigma, truncate)
+    r = (k.shape[0] - 1) // 2
+    x = img.astype(jnp.float32)[None, :, :, None]  # NHWC
+    kh = k.reshape(-1, 1, 1, 1)  # (K,1,1,1) HWIO
+    kw = k.reshape(1, -1, 1, 1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(r, r), (0, 0)], dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (r, r)], dimension_numbers=dn)
+    return x[0, :, :, 0]
+
+
+def displacement_fields(
+    key: jax.Array,
+    shape: Tuple[int, int],
+    alpha: float,
+    sigma: float,
+    truncate: float = 4.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random smooth displacement (dy, dx), each = gaussian_blur(U[-1,1]) * alpha
+    (reference: utils/augmentations.py:27-28)."""
+    kx, ky = jax.random.split(key)
+    rx = jax.random.uniform(kx, shape, jnp.float32, -1.0, 1.0)
+    ry = jax.random.uniform(ky, shape, jnp.float32, -1.0, 1.0)
+    dx = gaussian_blur_2d(rx, sigma, truncate) * alpha
+    dy = gaussian_blur_2d(ry, sigma, truncate) * alpha
+    return dy, dx
+
+
+def sample_2d(
+    img: jnp.ndarray,
+    yy: jnp.ndarray,
+    xx: jnp.ndarray,
+    order: int,
+    mode: str = "reflect",
+) -> jnp.ndarray:
+    """map_coordinates on a 2D array at (yy, xx); order 0 (nearest, preserves
+    labels) or 1 (bilinear), scipy-compatible 'reflect' boundary."""
+    return jax.scipy.ndimage.map_coordinates(
+        img.astype(jnp.float32) if order == 1 else img,
+        [yy, xx],
+        order=order,
+        mode=mode,
+    )
+
+
+@partial(jax.jit, static_argnames=("alpha", "sigma", "truncate"))
+def elastic_deform(
+    key: jax.Array,
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    alpha: float = 2000.0,
+    sigma: float = 20.0,
+    truncate: float = 4.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Deform (image, mask) with one shared displacement field.
+
+    image (H, W) float or uint; mask (H, W) integer labels. Image is sampled
+    bilinearly, mask nearest — exactly the reference's order-1/order-0 split
+    (reference: utils/augmentations.py:35-37).
+    """
+    h, w = image.shape
+    dy, dx = displacement_fields(key, (h, w), alpha, sigma, truncate)
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] + dy
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] + dx
+    img_d = sample_2d(image, yy, xx, order=1)
+    mask_d = sample_2d(mask, yy, xx, order=0).astype(mask.dtype)
+    return img_d, mask_d
+
+
+def elastic_deform_batch(
+    key: jax.Array,
+    images: jnp.ndarray,
+    masks: jnp.ndarray,
+    alpha: float = 2000.0,
+    sigma: float = 20.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """vmapped per-item deformation for a batch (N, H, W); one fresh subkey
+    per item, mirroring the reference's fresh seed per __getitem__
+    (reference: utils/dataset.py:83-93)."""
+    keys = jax.random.split(key, images.shape[0])
+    fn = lambda k, im, ms: elastic_deform(k, im, ms, alpha=alpha, sigma=sigma)
+    return jax.vmap(fn)(keys, images, masks)

@@ -1,0 +1,87 @@
+"""Loss functions.
+
+The reference wraps torch CrossEntropyLoss(reduction='none') and multiplies by
+the pixel weight map, then means (reference: utils/losses.py:29-57); training
+crops targets/weights to the logits' valid-conv window first (reference:
+scripts/train.py:39-51,118-126). Here the same math is a pure jnp function —
+log-softmax + one-hot gather in fp32 — so XLA fuses it into the backward pass,
+plus the center-crop helper for NHW targets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unetseg_tpu.models.shapes import center_crop_bounds
+
+
+def center_crop_nhw(x: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
+    """Center-crop a (N, H, W) or (N, H, W, C) array to (th, tw) spatially,
+    replicating the reference's crop bounds (scripts/train.py:39-51)."""
+    h, w = x.shape[1], x.shape[2]
+    h0, h1 = center_crop_bounds(h, th)
+    w0, w1 = center_crop_bounds(w, tw)
+    return x[:, h0:h1, w0:w1, ...]
+
+
+def per_pixel_ce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel softmax cross-entropy.
+
+    logits: (N, H, W, C) — any float dtype, promoted to fp32.
+    targets: (N, H, W) int class indices.
+    Returns (N, H, W) fp32 loss. Matches torch CrossEntropyLoss(reduction='none')
+    (up to layout: torch is NCHW, we are NHWC).
+    """
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logz, targets[..., None].astype(jnp.int32), axis=-1)
+    return -picked[..., 0]
+
+
+def weighted_cross_entropy(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """mean(w(x) * CE(x)) — reference: utils/losses.py:49-57.
+
+    logits (N,H,W,C), targets (N,H,W) int, weights (N,H,W) float.
+    """
+    return jnp.mean(per_pixel_ce(logits, targets) * weights.astype(jnp.float32))
+
+
+def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Unweighted mean CE — the reference's validation loss
+    (scripts/train.py:143)."""
+    return jnp.mean(per_pixel_ce(logits, targets))
+
+
+def cropped_weighted_ce(
+    logits: jnp.ndarray,
+    full_targets: jnp.ndarray,
+    full_weights: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Crop (N,Hf,Wf) targets/weights to the logits' spatial window and return
+    (loss, cropped_targets, cropped_weights). The crop is static under jit."""
+    th, tw = logits.shape[1], logits.shape[2]
+    t = center_crop_nhw(full_targets, th, tw)
+    if full_weights is None:
+        return cross_entropy(logits, t), t, None
+    w = center_crop_nhw(full_weights, th, tw)
+    return weighted_cross_entropy(logits, t, w), t, w
+
+
+def binary_probs_from_logits(logits: jnp.ndarray) -> jnp.ndarray:
+    """Foreground probability map from logits.
+
+    2-channel logits -> softmax channel 1 (reference: scripts/predict.py:84-86);
+    1-channel logits -> sigmoid (reference: scripts/inference.py:85).
+    """
+    if logits.shape[-1] == 2:
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+    if logits.shape[-1] == 1:
+        return jax.nn.sigmoid(logits.astype(jnp.float32))[..., 0]
+    raise ValueError(f"expected 1 or 2 channels, got {logits.shape[-1]}")

@@ -1,0 +1,176 @@
+"""U-Net pixel weight maps (class balance + instance-separation term).
+
+Replicates the reference generator (reference: scripts/preprocess_data.py:17-77,
+w0=10 sigma=5 from :14-15) and additionally offers the formula the U-Net paper
+actually describes.
+
+**A fidelity note.** The reference computes each instance's "distance to
+border" as min(EDT(obj), EDT(obj == 0)) (reference :47). Under scipy
+semantics (zero pixels -> 0) that expression is identically zero whenever both
+classes are present: inside pixels are zeros of (obj == 0), outside pixels are
+zeros of obj. Hence d1 = d2 = 0 everywhere and the separation term degenerates
+to a constant w0, i.e. w = wc + w0. The artifact shipped with the reference
+confirms this (weight_map_000.npy spans [~11.66, ~12.52] = wc in [1.66, 2.52]
+plus 10). `mode="reference"` reproduces that behavior bit-for-bit;
+`mode="paper"` computes the real Ronneberger term with d1/d2 = distances to
+the nearest / second-nearest cell.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Literal, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unetseg_tpu.ops.edt import edt_sq
+
+Mode = Literal["reference", "paper"]
+
+MAX_INSTANCES = 32  # static instance-axis bound for the jit path
+
+
+# --------------------------------------------------------------------- host
+def class_balance_weights_np(binary_mask: np.ndarray) -> np.ndarray:
+    """w_c: inverse class frequency per pixel (reference :26-36)."""
+    binary_mask = (binary_mask > 0).astype(np.uint8)
+    total = binary_mask.size
+    n_fg = int(binary_mask.sum())
+    n_bg = total - n_fg
+    wc_bg = (total / n_bg) if n_bg > 0 else 0.0
+    wc_fg = (total / n_fg) if n_fg > 0 else 0.0
+    out = np.zeros(binary_mask.shape, np.float32)
+    out[binary_mask == 0] = wc_bg
+    out[binary_mask == 1] = wc_fg
+    return out
+
+
+def weight_map_np(
+    instance_mask: np.ndarray,
+    w0: float = 10.0,
+    sigma: float = 5.0,
+    mode: Mode = "reference",
+) -> np.ndarray:
+    """Host (scipy) weight map. mode='reference' is the reference formula
+    including its degenerate distance term; mode='paper' the real one."""
+    from scipy.ndimage import distance_transform_edt as sp_edt
+
+    mask = np.asarray(instance_mask)
+    wc = class_balance_weights_np(mask)
+    labels = np.unique(mask[mask > 0])
+
+    h, w = mask.shape
+    if len(labels) == 0:
+        d1 = np.zeros((h, w), np.float32)
+        d2 = np.zeros((h, w), np.float32)
+    else:
+        dist_maps = []
+        for lab in labels:
+            obj = (mask == lab).astype(np.uint8)
+            if mode == "reference":
+                # reference :47 — min of the two EDTs (degenerates to 0)
+                d = np.minimum(sp_edt(obj), sp_edt(obj == 0))
+            else:
+                # distance to cell `lab` (0 inside it)
+                d = sp_edt(mask != lab)
+            dist_maps.append(d.astype(np.float32))
+        stacked = np.stack(dist_maps, axis=-1)
+        if stacked.shape[-1] >= 2:
+            part = np.partition(stacked, kth=1, axis=-1)[:, :, :2]
+            d1, d2 = part[:, :, 0], part[:, :, 1]
+        else:
+            d1 = stacked[:, :, 0]
+            d2 = np.zeros_like(d1)
+
+    d1 = np.where(np.isinf(d1), 0.0, d1)
+    d2 = np.where(np.isinf(d2), 0.0, d2)
+    sep = w0 * np.exp(-((d1 + d2) ** 2) / (2 * (sigma**2 + 1e-8)))
+    if mode == "paper":
+        # the separation term only matters off-cell; keep it everywhere for
+        # reference mode (that is what the reference does)
+        sep = sep * (mask == 0)
+    # float64 accumulation like the reference (numpy default), cast at the end
+    return (wc.astype(np.float64) + sep.astype(np.float64)).astype(np.float32)
+
+
+# ------------------------------------------------------------------- device
+def pack_labels(instance_mask: np.ndarray, max_instances: int = MAX_INSTANCES) -> np.ndarray:
+    """Unique positive labels padded with -1 to a static length (host-side
+    prep for the jit kernel; the label axis must be static under jit)."""
+    labels = np.unique(np.asarray(instance_mask))
+    labels = labels[labels > 0].astype(np.int32)
+    if labels.size > max_instances:
+        raise ValueError(f"{labels.size} instances > max_instances={max_instances}")
+    out = np.full((max_instances,), -1, np.int32)
+    out[: labels.size] = labels
+    return out
+
+
+@partial(jax.jit, static_argnames=("w0", "sigma", "background_only"))
+def weight_map_device(
+    instance_mask: jnp.ndarray,
+    labels: jnp.ndarray,
+    w0: float = 10.0,
+    sigma: float = 5.0,
+    background_only: bool = True,
+) -> jnp.ndarray:
+    """On-device 'paper' weight map: exact per-instance EDTs (min-plus, see
+    ops/edt.py) + two-smallest reduction + separation term. `labels` is a
+    static-length array from `pack_labels` (-1 entries ignored).
+
+    The reference needs ~2 scipy EDTs per instance on the host
+    (reference :44-48); this runs every instance as dense VPU work in one
+    compiled program.
+    """
+    mask = instance_mask.astype(jnp.int32)
+    h, w = mask.shape
+
+    # class balance term in fp32
+    fg = (mask > 0)
+    n_fg = jnp.sum(fg)
+    total = h * w
+    n_bg = total - n_fg
+    wc_fg = jnp.where(n_fg > 0, total / n_fg.astype(jnp.float32), 0.0)
+    wc_bg = jnp.where(n_bg > 0, total / n_bg.astype(jnp.float32), 0.0)
+    wc = jnp.where(fg, wc_fg, wc_bg)
+
+    big = jnp.float32(1e12)
+
+    def one_instance(lab):
+        feat = (mask == lab) & (lab > 0)
+        d2 = edt_sq(feat)
+        # instances absent (padding) contribute +inf so they never win the min
+        return jnp.where(lab > 0, d2, jnp.full((h, w), big))
+
+    dist_sq = jax.lax.map(one_instance, labels)          # (K, H, W) squared
+    two_smallest = -jax.lax.top_k(-jnp.moveaxis(dist_sq, 0, -1), 2)[0]
+    d1 = jnp.sqrt(jnp.minimum(two_smallest[..., 0], big))
+    d2 = jnp.sqrt(jnp.minimum(two_smallest[..., 1], big))
+    n_valid = jnp.sum(labels > 0)
+    d1 = jnp.where(n_valid >= 1, d1, 0.0)
+    d2 = jnp.where(n_valid >= 2, d2, 0.0)
+    # guard the no/one-instance cases like the reference (:56-64)
+    d1 = jnp.where(d1 > 1e5, 0.0, d1)
+    d2 = jnp.where(d2 > 1e5, 0.0, d2)
+
+    sep = w0 * jnp.exp(-((d1 + d2) ** 2) / (2 * (sigma**2 + 1e-8)))
+    if background_only:
+        sep = sep * (~fg)
+    return (wc + sep).astype(jnp.float32)
+
+
+def weight_map(
+    instance_mask: np.ndarray,
+    w0: float = 10.0,
+    sigma: float = 5.0,
+    mode: Mode = "reference",
+    device: bool = False,
+) -> np.ndarray:
+    """Convenience dispatcher used by the CLI preprocess command."""
+    if device and mode == "paper":
+        labels = pack_labels(instance_mask)
+        out = weight_map_device(jnp.asarray(instance_mask), jnp.asarray(labels), w0=w0, sigma=sigma)
+        return np.asarray(out)
+    return weight_map_np(instance_mask, w0=w0, sigma=sigma, mode=mode)

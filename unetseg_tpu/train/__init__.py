@@ -1,0 +1,3 @@
+from unetseg_tpu.train.state import TrainState, create_train_state  # noqa: F401
+from unetseg_tpu.train.steps import make_eval_step, make_train_step  # noqa: F401
+from unetseg_tpu.train.loop import TrainResult, train  # noqa: F401

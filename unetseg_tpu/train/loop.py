@@ -1,0 +1,188 @@
+"""The training driver: epochs, validation, best-checkpointing, resume.
+
+Functional equivalent of the reference's __main__ loop
+(reference: scripts/train.py:64-175): 90/10 split, weighted-CE train epochs,
+unweighted-CE validation, checkpoint on new best validation loss — plus the
+things the reference lacks (SURVEY.md §5): resume, structured metrics,
+deterministic data order keyed by (seed, epoch), and an optional device mesh
+for batch-axis data parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from unetseg_tpu.core.config import Config
+from unetseg_tpu.core.mesh import MeshSpec
+from unetseg_tpu.data.dataset import (
+    HeLaArrays,
+    iter_batches,
+    num_batches,
+    train_val_split,
+)
+from unetseg_tpu.models.unet import UNet
+from unetseg_tpu.train import checkpoint as ckpt
+from unetseg_tpu.train.metrics_log import MetricsLogger, StepTimer
+from unetseg_tpu.train.state import TrainState, create_train_state
+from unetseg_tpu.train.steps import make_eval_step, make_train_step
+
+
+@dataclass
+class TrainResult:
+    state: TrainState
+    best_val_loss: float
+    best_epoch: int
+    history: List[Dict[str, float]]
+
+
+def _put_batch(batch, spec: Optional[MeshSpec]):
+    arrays = (batch.images, batch.masks, batch.weight_maps, batch.valid)
+    if spec is None:
+        return arrays
+    sh = spec.batch_sharding()
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def train(
+    cfg: Config,
+    data: Optional[HeLaArrays] = None,
+    mesh: Optional[MeshSpec] = None,
+    logger: Optional[MetricsLogger] = None,
+    max_steps: Optional[int] = None,
+) -> TrainResult:
+    t_cfg, d_cfg, m_cfg = cfg.train, cfg.data, cfg.model
+    logger = logger or MetricsLogger(t_cfg.metrics_jsonl)
+
+    data = data or HeLaArrays.load(d_cfg)
+    n = len(data)
+    train_idx, val_idx = train_val_split(n, d_cfg.val_percent, t_cfg.seed)
+    logger.log(
+        {"event": "start", "n_train": len(train_idx), "n_val": len(val_idx)},
+    )
+
+    model = UNet(cfg=m_cfg)
+    rng = jax.random.key(t_cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    input_size = data.images.shape[1]
+    state = create_train_state(
+        init_rng, model_cfg=m_cfg, train_cfg=t_cfg,
+        input_size=input_size, model=model,
+    )
+
+    start_epoch = 0
+    if t_cfg.resume:
+        latest = ckpt.latest_epoch(t_cfg.checkpoint_dir)
+        if latest is not None:
+            state, start_epoch, _ = ckpt.restore_checkpoint(
+                t_cfg.checkpoint_dir, state, latest
+            )
+            start_epoch += 1
+            logger.log({"event": "resume", "epoch": start_epoch})
+
+    if mesh is not None:
+        state = jax.device_put(state, mesh.replicated())
+
+    train_step = make_train_step(
+        model,
+        augment=d_cfg.augment,
+        elastic_alpha=d_cfg.elastic_alpha,
+        elastic_sigma=d_cfg.elastic_sigma,
+        donate=t_cfg.donate_state,
+    )
+    eval_step = make_eval_step(model)
+
+    from unetseg_tpu.models.shapes import output_size
+
+    out = output_size(input_size)
+    timer = StepTimer(pixels_per_step=t_cfg.batch_size * out * out)
+
+    best_val = float("inf")
+    best_epoch = -1
+    history: List[Dict[str, float]] = []
+    global_step = 0
+    done = False
+
+    for epoch in range(start_epoch, t_cfg.num_epochs):
+        # ------------------------------------------------------------ train
+        epoch_loss, n_steps = 0.0, 0
+        timer.reset()
+        for batch in iter_batches(
+            data, train_idx, t_cfg.batch_size, shuffle=True,
+            seed=t_cfg.seed * 100003 + epoch,
+        ):
+            rng, step_key = jax.random.split(rng)
+            images, masks, weights, valid = _put_batch(batch, mesh)
+            state, metrics = train_step(
+                state, images, masks, weights, valid, step_key
+            )
+            loss = float(metrics["loss"])
+            epoch_loss += loss
+            n_steps += 1
+            global_step += 1
+            timer.tick()
+            if global_step % t_cfg.log_every == 0:
+                logger.log(
+                    {
+                        "event": "train_step",
+                        "epoch": epoch,
+                        "step": global_step,
+                        "loss": loss,
+                        **timer.rates(),
+                    },
+                    echo=(global_step % (t_cfg.log_every * 10) == 0),
+                )
+            if max_steps is not None and global_step >= max_steps:
+                done = True
+                break
+
+        avg_train = epoch_loss / max(n_steps, 1)
+
+        # -------------------------------------------------------------- val
+        val_metrics: Dict[str, float] = {}
+        if len(val_idx) > 0:
+            sums: Dict[str, float] = {}
+            n_val_batches = 0
+            for batch in iter_batches(
+                data, val_idx, t_cfg.batch_size, shuffle=False, seed=0
+            ):
+                images, masks, _, valid = _put_batch(batch, mesh)
+                m = eval_step(state, images, masks, valid)
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                n_val_batches += 1
+            val_metrics = {k: v / n_val_batches for k, v in sums.items()}
+
+        record = {
+            "event": "epoch",
+            "epoch": epoch,
+            "train_loss": avg_train,
+            **val_metrics,
+            **timer.rates(),
+        }
+        logger.log(record)
+        history.append({k: v for k, v in record.items() if isinstance(v, float)})
+
+        # ------------------------------------------------------- checkpoint
+        val_loss = val_metrics.get("val_loss", avg_train)
+        if val_loss < best_val:
+            best_val = val_loss
+            best_epoch = epoch
+            if t_cfg.save_checkpoint:
+                ckpt.save_checkpoint(
+                    t_cfg.checkpoint_dir, state, epoch, val_loss,
+                    keep=t_cfg.keep_best_k,
+                    extra={"config": cfg.to_dict()},
+                )
+                logger.log({"event": "checkpoint", "epoch": epoch, "val_loss": val_loss})
+        if done:
+            break
+
+    return TrainResult(
+        state=state, best_val_loss=best_val, best_epoch=best_epoch, history=history
+    )

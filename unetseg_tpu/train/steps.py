@@ -1,0 +1,121 @@
+"""jit-compiled train / eval steps.
+
+One fused device program per step: elastic augmentation (vmapped displacement
+gathers) -> binarize -> U-Net forward (bf16 convs on the MXU) -> center-crop
+targets -> weighted softmax-CE in fp32 -> backward -> SGD-momentum update.
+The reference does augmentation on the host per item and only the
+forward/backward on device (SURVEY.md §3.1); here nothing leaves HBM.
+
+Padded batch items (see data/dataset.py) are masked out of the loss by
+dividing by the number of *valid* pixels, which reproduces the reference's
+plain `.mean()` over real items (reference: utils/losses.py:57).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unetseg_tpu.models.unet import UNet
+from unetseg_tpu.ops.elastic import elastic_deform_batch
+from unetseg_tpu.ops.losses import center_crop_nhw, per_pixel_ce
+from unetseg_tpu.train.state import TrainState
+
+
+def _masked_mean_loss(
+    logits: jnp.ndarray,
+    full_targets: jnp.ndarray,
+    full_weights: Optional[jnp.ndarray],
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """mean over valid items of (w * CE) with center-cropped targets
+    (reference: scripts/train.py:118-128)."""
+    th, tw = logits.shape[1], logits.shape[2]
+    t = center_crop_nhw(full_targets, th, tw)
+    ce = per_pixel_ce(logits, t)
+    if full_weights is not None:
+        ce = ce * center_crop_nhw(full_weights, th, tw).astype(jnp.float32)
+    item_mask = valid.astype(jnp.float32)[:, None, None]
+    n_pix = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0) * th * tw
+    return jnp.sum(ce * item_mask) / n_pix
+
+
+def make_train_step(
+    model: UNet,
+    augment: bool = True,
+    elastic_alpha: float = 2000.0,
+    elastic_sigma: float = 20.0,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    step(state, images (B,H,W) f32[0,1], masks (B,H,W) i32 instance labels,
+         weights (B,H,W) f32, valid (B,) bool, key) -> (state, metrics)
+    """
+
+    def step(state: TrainState, images, masks, weights, valid, key):
+        if augment:
+            # Fresh field per item, image bilinear / labels nearest, weight
+            # maps intentionally NOT deformed — all exactly the reference's
+            # per-__getitem__ behavior (reference: utils/dataset.py:83-93).
+            images, masks = elastic_deform_batch(
+                key, images, masks, alpha=elastic_alpha, sigma=elastic_sigma
+            )
+        targets = (masks > 0).astype(jnp.int32)
+
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images[..., None],
+                train=True,
+                item_mask=valid,
+                mutable=["batch_stats"],
+            )
+            loss = _masked_mean_loss(logits, targets, weights, valid)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads, batch_stats=new_batch_stats)
+        gnorm = optax_global_norm(grads)
+        return state, {"loss": loss, "grad_norm": gnorm}
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+def make_eval_step(model: UNet) -> Callable:
+    """Validation step: *unweighted* CE on cropped targets, eval-mode BN
+    (reference: scripts/train.py:141-163)."""
+
+    def step(state: TrainState, images, masks, valid):
+        targets = (masks > 0).astype(jnp.int32)
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images[..., None],
+            train=False,
+        )
+        loss = _masked_mean_loss(logits, targets, None, valid)
+        # pixel accuracy + foreground IoU as extra observability
+        th, tw = logits.shape[1], logits.shape[2]
+        t = center_crop_nhw(targets, th, tw)
+        pred = jnp.argmax(logits, axis=-1)
+        item = valid[:, None, None]
+        acc = jnp.sum((pred == t) & item) / jnp.maximum(
+            jnp.sum(valid) * th * tw, 1
+        )
+        inter = jnp.sum((pred == 1) & (t == 1) & item)
+        union = jnp.sum(((pred == 1) | (t == 1)) & item)
+        iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+        return {"val_loss": loss, "val_acc": acc, "val_iou": iou}
+
+    return jax.jit(step)
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
