@@ -1,0 +1,103 @@
+"""Inference engine tests with a tiny real U-Net on CPU."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from unetseg_tpu.core.config import InferConfig, ModelConfig
+from unetseg_tpu.data.io import read_image
+from unetseg_tpu.infer.engine import Predictor, load_image_01
+from unetseg_tpu.models.unet import UNet, init_unet
+
+TINY = ModelConfig(compute_dtype="float32", base_features=4)
+SIZE = 188  # net output 4
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    model = UNet(cfg=TINY)
+    v = init_unet(model, jax.random.key(0), input_size=SIZE)
+    return Predictor(
+        model=model,
+        params=v["params"],
+        batch_stats=v["batch_stats"],
+        cfg=InferConfig(image_size=SIZE, tile_input=SIZE, tile_batch=4, min_cell_size=1),
+    )
+
+
+def test_probs_shape_and_range(predictor):
+    imgs = np.random.RandomState(0).rand(2, SIZE, SIZE).astype(np.float32)
+    p = np.asarray(predictor.probs(imgs))
+    assert p.shape == (2, 4, 4)
+    assert (p >= 0).all() and (p <= 1).all()
+
+
+def test_predict_image_binary(predictor):
+    img = np.random.RandomState(1).rand(SIZE, SIZE).astype(np.float32)
+    m = predictor.predict_image(img)
+    assert m.shape == (4, 4)
+    assert set(np.unique(m)) <= {0, 1}
+
+
+def test_probs_tiled_full_resolution(predictor):
+    img = np.random.RandomState(2).rand(50, 70).astype(np.float32)
+    p = predictor.probs_tiled(img)
+    assert p.shape == (50, 70)
+    assert np.isfinite(p).all()
+
+
+def test_probs_tiled_deterministic(predictor):
+    img = np.random.RandomState(3).rand(30, 30).astype(np.float32)
+    a = predictor.probs_tiled(img)
+    b = predictor.probs_tiled(img)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_predict_sequence_outputs(predictor, tmp_path):
+    seq = tmp_path / "01"
+    seq.mkdir()
+    rs = np.random.RandomState(4)
+    for i in range(3):
+        Image.fromarray((rs.rand(SIZE, SIZE) * 255).astype(np.uint8)).save(
+            seq / f"t{i:03d}.tif"
+        )
+    masks_dir = str(tmp_path / "01_RES")
+    inst_dir = str(tmp_path / "01_RES_INST")
+    written = predictor.predict_sequence(str(seq), masks_dir, inst_dir, batch_size=2)
+    assert sorted(os.listdir(masks_dir)) == ["mask000.tif", "mask001.tif", "mask002.tif"]
+    assert sorted(os.listdir(inst_dir)) == ["m000.tif", "m001.tif", "m002.tif"]
+    m = read_image(os.path.join(masks_dir, "mask000.tif"))
+    assert m.dtype == np.uint8 and set(np.unique(m)) <= {0, 255}
+    assert m.shape == (4, 4)  # net output size, like the reference's 324
+    inst = read_image(os.path.join(inst_dir, "m000.tif"))
+    assert np.asarray(inst).dtype in (np.uint16, np.int32)
+
+
+def test_predict_sequence_resize_output(predictor, tmp_path):
+    seq = tmp_path / "01"
+    seq.mkdir()
+    Image.fromarray(
+        (np.random.RandomState(5).rand(SIZE, SIZE) * 255).astype(np.uint8)
+    ).save(seq / "t000.tif")
+    predictor.predict_sequence(
+        str(seq), str(tmp_path / "R"), str(tmp_path / "RI"), resize_output_to=SIZE
+    )
+    m = read_image(str(tmp_path / "R" / "mask000.tif"))
+    assert m.shape == (SIZE, SIZE)
+
+
+def test_predict_sequence_empty_dir_raises(predictor, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        predictor.predict_sequence(str(tmp_path), str(tmp_path / "a"), str(tmp_path / "b"))
+
+
+def test_load_image_01_resize(tmp_path):
+    p = str(tmp_path / "t000.tif")
+    Image.fromarray((np.eye(10) * 255).astype(np.uint8)).save(p)
+    x = load_image_01(p, image_size=20)
+    assert x.shape == (20, 20)
+    assert x.max() <= 1.0

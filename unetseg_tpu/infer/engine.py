@@ -1,0 +1,195 @@
+"""Inference engine: single image, batched sequence, and overlap-tile paths.
+
+Covers the reference's two inference scripts and the tile strategy it never
+implemented:
+
+- single-image path (reference: scripts/inference.py — resize 512, forward,
+  threshold 0.5),
+- sequence path (reference: scripts/predict.py — resize 512,
+  Normalize(0.5, 0.5), softmax fg channel, threshold, mask{NNN}.tif 0/255 +
+  connected-component m{NNN}.tif uint16; outputs are 324x324),
+- overlap-tile path producing *full-resolution* seamless probability maps for
+  arbitrary image sizes (see infer/tiling.py), batched and mesh-shardable.
+
+TPU-first: frames are batched (the reference runs batch=1 serially,
+reference: scripts/predict.py:73), compute is one jitted NHWC program per
+static shape, thresholding/softmax stay on device; only final masks return to
+host for file IO and component labeling.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from unetseg_tpu.core.config import InferConfig, ModelConfig
+from unetseg_tpu.core.mesh import MeshSpec
+from unetseg_tpu.data.io import (
+    file_number_str,
+    frame_number,
+    sorted_frames,
+    write_mask_u16,
+    write_mask_u8,
+)
+from unetseg_tpu.infer.tiling import TileGrid, plan_tiles, tiled_apply
+from unetseg_tpu.models.unet import UNet
+from unetseg_tpu.ops.losses import binary_probs_from_logits
+from unetseg_tpu.post.cc import get_instance_masks
+
+
+def load_image_01(path: str, image_size: Optional[int] = None) -> np.ndarray:
+    """Grayscale [0,1], optional bilinear resize — torchvision ToTensor +
+    Resize semantics (reference: scripts/predict.py:76-77)."""
+    img = Image.open(path).convert("L")
+    if image_size is not None and img.size != (image_size, image_size):
+        img = img.resize((image_size, image_size), Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0
+
+
+@dataclass
+class Predictor:
+    """Holds the model + trained variables and compiled forwards."""
+
+    model: UNet
+    params: Any
+    batch_stats: Any
+    cfg: InferConfig = field(default_factory=InferConfig)
+    mesh: Optional[MeshSpec] = None
+
+    def __post_init__(self):
+        variables = {"params": self.params, "batch_stats": self.batch_stats}
+
+        @jax.jit
+        def _probs(images: jnp.ndarray) -> jnp.ndarray:
+            x = images
+            if self.cfg.normalize:
+                x = (x - self.cfg.normalize_mean) / self.cfg.normalize_std
+            logits = self.model.apply(variables, x[..., None], train=False)
+            return binary_probs_from_logits(logits)
+
+        self._probs_fn = _probs
+
+    # ------------------------------------------------------------- forward
+    def probs(self, images: np.ndarray) -> jnp.ndarray:
+        """(B, H, W) in [0,1] -> (B, h', w') foreground probability."""
+        return self._probs_fn(jnp.asarray(images))
+
+    def predict_image(self, image: np.ndarray) -> np.ndarray:
+        """Single (H, W) image -> binary uint8 mask at the net's output size
+        (reference: scripts/inference.py:79-95)."""
+        p = self.probs(image[None])[0]
+        return np.asarray(p > self.cfg.threshold, np.uint8)
+
+    # --------------------------------------------------------- overlap-tile
+    def probs_tiled(
+        self,
+        image: np.ndarray,
+        tile_input: Optional[int] = None,
+        tile_batch: Optional[int] = None,
+    ) -> np.ndarray:
+        """Full-resolution seamless probability map for an arbitrary-size
+        image via the overlap-tile strategy."""
+        h, w = image.shape
+        grid = plan_tiles(h, w, tile_input or self.cfg.tile_input)
+        out = tiled_apply(
+            self._probs_fn,
+            jnp.asarray(image, jnp.float32),
+            grid,
+            tile_batch=tile_batch or self.cfg.tile_batch,
+            mesh=self.mesh,
+        )
+        return np.asarray(out)
+
+    def predict_image_tiled(self, image: np.ndarray) -> np.ndarray:
+        return (self.probs_tiled(image) > self.cfg.threshold).astype(np.uint8)
+
+    # ------------------------------------------------------------ sequence
+    def predict_sequence(
+        self,
+        input_dir: str,
+        output_masks_dir: str,
+        output_instance_dir: str,
+        batch_size: Optional[int] = None,
+        tiled: bool = False,
+        resize_output_to: Optional[int] = None,
+        progress: Optional[Callable[[int, int], None]] = None,
+    ) -> List[str]:
+        """Predict every t*.tif frame -> mask{NNN}.tif + m{NNN}.tif
+        (reference: scripts/predict.py:57-116). With `tiled=True` frames keep
+        their native resolution (no resize, no valid-conv shrink).
+
+        `resize_output_to` nearest-resizes the saved masks (the reference's
+        324x324 outputs score SEG=0.0 against 512x512 GT — a documented
+        defect, SURVEY.md §2; pass 512 to fix, None to reproduce faithfully).
+        """
+        os.makedirs(output_masks_dir, exist_ok=True)
+        os.makedirs(output_instance_dir, exist_ok=True)
+        frames = sorted_frames(input_dir, "t*.tif")
+        if not frames:
+            raise FileNotFoundError(f"no t*.tif frames in {input_dir}")
+
+        bs = batch_size or self.cfg.tile_batch
+        written: List[str] = []
+        size = None if tiled else self.cfg.image_size
+        for start in range(0, len(frames), bs):
+            chunk = frames[start : start + bs]
+            images = np.stack([load_image_01(f, size) for f in chunk])
+            if tiled:
+                probs = np.stack([self.probs_tiled(img) for img in images])
+            else:
+                pad = bs - len(chunk)
+                batch = np.concatenate([images, images[:1].repeat(pad, 0)]) if pad else images
+                probs = np.asarray(self.probs(batch))[: len(chunk)]
+            binary = (probs > self.cfg.threshold).astype(np.uint8)
+            for k, f in enumerate(chunk):
+                num = frame_number(f)
+                b = binary[k]
+                if resize_output_to is not None and b.shape[0] != resize_output_to:
+                    b = np.asarray(
+                        Image.fromarray(b * 255).resize(
+                            (resize_output_to, resize_output_to), Image.NEAREST
+                        )
+                    ) // 255
+                inst = get_instance_masks(b, min_size=self.cfg.min_cell_size)
+                mask_path = os.path.join(output_masks_dir, f"mask{num:03d}.tif")
+                inst_path = os.path.join(output_instance_dir, f"m{num:03d}.tif")
+                write_mask_u8(mask_path, b)
+                write_mask_u16(inst_path, inst)
+                written.extend([mask_path, inst_path])
+            if progress:
+                progress(min(start + bs, len(frames)), len(frames))
+        return written
+
+    # ------------------------------------------------------- construction
+    @classmethod
+    def from_checkpoint(
+        cls,
+        checkpoint_dir: str,
+        model_cfg: Optional[ModelConfig] = None,
+        infer_cfg: Optional[InferConfig] = None,
+        epoch: Optional[int] = None,
+        mesh: Optional[MeshSpec] = None,
+    ) -> "Predictor":
+        from unetseg_tpu.train.checkpoint import restore_params_for_inference
+        from unetseg_tpu.train.state import create_train_state
+
+        model_cfg = model_cfg or ModelConfig()
+        model = UNet(cfg=model_cfg)
+        template = create_train_state(
+            jax.random.key(0), model_cfg=model_cfg,
+            input_size=(infer_cfg or InferConfig()).image_size, model=model,
+        )
+        params, batch_stats = restore_params_for_inference(
+            checkpoint_dir, template, epoch=epoch
+        )
+        return cls(
+            model=model, params=params, batch_stats=batch_stats,
+            cfg=infer_cfg or InferConfig(), mesh=mesh,
+        )

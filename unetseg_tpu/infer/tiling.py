@@ -1,0 +1,153 @@
+"""Overlap-tile inference engine.
+
+The U-Net paper's "overlap-tile strategy" segments arbitrarily large images
+seamlessly: mirror-pad by half the valid-conv margin, run the net on
+overlapping input tiles, and concatenate the non-overlapping output tiles.
+The reference README advertises this but ships no implementation — only
+output artifacts exist (reference: images/old readme unet.txt Phase 4;
+SURVEY.md §2 C7). This module is that missing engine, built TPU-first:
+
+- the tile grid is static, so the whole batch of tiles compiles once;
+- tiles are batched on a leading axis that shards over the device mesh's
+  (data, tile) axes — the framework's "sequence parallelism" analogue
+  (SURVEY.md §5 'Long-context');
+- stitching is pure concatenation (outputs never overlap), a reshape.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unetseg_tpu.core.mesh import MeshSpec
+from unetseg_tpu.models.shapes import output_size
+
+
+@dataclass(frozen=True)
+class TileGrid:
+    """Geometry of one tiled run over an (h, w) image."""
+
+    h: int
+    w: int
+    tile_in: int     # network input tile size (e.g. 512)
+    tile_out: int    # network output tile size (e.g. 324)
+    ny: int
+    nx: int
+    pad_top: int
+    pad_left: int
+    pad_bottom: int
+    pad_right: int
+
+    @property
+    def margin(self) -> int:
+        return self.tile_in - self.tile_out
+
+    @property
+    def num_tiles(self) -> int:
+        return self.ny * self.nx
+
+
+def plan_tiles(h: int, w: int, tile_in: int = 512) -> TileGrid:
+    """Plan the grid: outputs tile the image exactly (stride = tile_out);
+    input context comes from mirror padding by margin/2 plus ragged-edge
+    padding on the bottom/right."""
+    tile_out = output_size(tile_in)
+    margin = tile_in - tile_out
+    ny = math.ceil(h / tile_out)
+    nx = math.ceil(w / tile_out)
+    pad_top = margin // 2
+    pad_left = margin // 2
+    pad_bottom = (ny * tile_out - h) + (margin - margin // 2)
+    pad_right = (nx * tile_out - w) + (margin - margin // 2)
+    return TileGrid(
+        h=h, w=w, tile_in=tile_in, tile_out=tile_out, ny=ny, nx=nx,
+        pad_top=pad_top, pad_left=pad_left,
+        pad_bottom=pad_bottom, pad_right=pad_right,
+    )
+
+
+def mirror_pad(image: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
+    """Reflect-pad (the paper's mirroring). Falls back to symmetric mode when
+    the pad exceeds the image extent (reflect needs pad < dim)."""
+    pads = ((grid.pad_top, grid.pad_bottom), (grid.pad_left, grid.pad_right))
+    mode = "reflect"
+    if max(grid.pad_top, grid.pad_bottom) >= image.shape[0] or max(
+        grid.pad_left, grid.pad_right
+    ) >= image.shape[1]:
+        mode = "symmetric"
+    return jnp.pad(image, pads, mode=mode)
+
+
+def extract_tiles(padded: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
+    """(ny*nx, tile_in, tile_in) overlapping input tiles, raster order. The
+    grid is static, so this unrolls to `num_tiles` static slices under jit."""
+    tiles = []
+    for i in range(grid.ny):
+        for j in range(grid.nx):
+            y = i * grid.tile_out
+            x = j * grid.tile_out
+            tiles.append(
+                jax.lax.dynamic_slice(
+                    padded, (y, x), (grid.tile_in, grid.tile_in)
+                )
+            )
+    return jnp.stack(tiles)
+
+
+def stitch(outputs: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
+    """(ny*nx, tile_out, tile_out, ...) -> (h, w, ...). Pure reshape/transpose
+    since output tiles are disjoint, then a crop of the ragged edge."""
+    o = grid.tile_out
+    rest = outputs.shape[3:]
+    grid_arr = outputs.reshape((grid.ny, grid.nx, o, o) + rest)
+    full = grid_arr.transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(rest))))
+    full = full.reshape((grid.ny * o, grid.nx * o) + rest)
+    return full[: grid.h, : grid.w]
+
+
+def pad_tile_count(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
+def tiled_apply(
+    tile_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    image: jnp.ndarray,
+    grid: TileGrid,
+    tile_batch: Optional[int] = None,
+    mesh: Optional[MeshSpec] = None,
+) -> jnp.ndarray:
+    """Run `tile_fn` ((B, T, T) -> (B, o, o, C)) over all tiles of `image`
+    and stitch. Tiles are processed in fixed-size chunks (`tile_batch`) so one
+    compiled shape serves any image size; with a mesh, each chunk's leading
+    axis is sharded over the (data, tile) axes and XLA gathers results over
+    ICI.
+    """
+    padded = mirror_pad(image, grid)
+    tiles = extract_tiles(padded, grid)
+    n = grid.num_tiles
+
+    if tile_batch is None:
+        tile_batch = n
+    if mesh is not None:
+        devs = mesh.num_data * mesh.num_tile
+        tile_batch = pad_tile_count(tile_batch, devs)
+
+    outs = []
+    for start in range(0, n, tile_batch):
+        chunk = tiles[start : start + tile_batch]
+        pad = tile_batch - chunk.shape[0]
+        if pad:
+            chunk = jnp.concatenate([chunk, jnp.repeat(chunk[:1], pad, axis=0)])
+        if mesh is not None:
+            chunk = jax.device_put(chunk, mesh.tile_sharding())
+        out = tile_fn(chunk)
+        if pad:
+            out = out[: tile_batch - pad]
+        outs.append(out)
+    outputs = jnp.concatenate(outs, axis=0)
+    return stitch(outputs, grid)
