@@ -1,0 +1,138 @@
+"""CLI tests: drive the real subcommands end-to-end on a tiny synthetic
+dataset (tiny model sizes so the whole workflow runs on the CPU CI)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from unetseg_tpu.cli.main import main
+
+SIZE = 188
+
+
+@pytest.fixture
+def tree(tmp_path):
+    root = tmp_path / "HeLa"
+    (root / "01").mkdir(parents=True)
+    (root / "01_ST" / "SEG").mkdir(parents=True)
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rs.rand(SIZE, SIZE) * 255).astype(np.uint8)).save(
+            root / "01" / f"t{i:03d}.tif"
+        )
+        m = np.zeros((SIZE, SIZE), np.uint16)
+        m[40:90, 40:90] = 1
+        m[120:160, 100:150] = 2
+        Image.fromarray(m).save(root / "01_ST" / "SEG" / f"man_seg{i:03d}.tif")
+    return root
+
+
+def test_help_lists_subcommands(capsys):
+    with pytest.raises(SystemExit) as e:
+        main(["--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    for cmd in ["preprocess", "train", "infer", "predict", "track",
+                "evaluate", "evaluate-ctc", "visualize", "bench"]:
+        assert cmd in out
+
+
+def test_preprocess_writes_and_skips(tree, capsys):
+    rc = main(["preprocess", "--data-root", str(tree), "--sequence", "01"])
+    assert rc == 0
+    wm_dir = tree / "01_ST" / "WEIGHT_MAPS"
+    assert sorted(os.listdir(wm_dir)) == [
+        f"weight_map_{i:03d}.npy" for i in range(4)
+    ]
+    # idempotent: second run skips
+    rc = main(["preprocess", "--data-root", str(tree), "--sequence", "01"])
+    assert rc == 0
+    assert "4 already existed" in capsys.readouterr().out
+    wm = np.load(wm_dir / "weight_map_000.npy")
+    assert wm.shape == (SIZE, SIZE)
+
+
+def test_preprocess_paper_mode(tree):
+    rc = main([
+        "preprocess", "--data-root", str(tree), "--sequence", "01",
+        "--mode", "paper", "--force",
+    ])
+    assert rc == 0
+
+
+def test_track_cli(tmp_path, capsys):
+    inst_dir = tmp_path / "01_RES_INST"
+    inst_dir.mkdir()
+    for i in range(3):
+        m = np.zeros((64, 64), np.uint16)
+        m[10 + i : 20 + i, 10:20] = 1
+        Image.fromarray(m).save(inst_dir / f"m{i:03d}.tif")
+    out = str(tmp_path / "res_track.txt")
+    rc = main(["track", "--instance-dir", str(inst_dir), "--output", out])
+    assert rc == 0
+    with open(out) as f:
+        assert f.read() == "1 0 2 0\n"
+
+
+def test_evaluate_ctc_cli(capsys):
+    ref = "/root/reference/EvaluationSoftware/testing_dataset"
+    if not os.path.isdir(ref):
+        pytest.skip("reference not mounted")
+    rc = main([
+        "evaluate-ctc", "seg",
+        "--gt-dir", os.path.join(ref, "01_GT", "SEG"),
+        "--res-dir", os.path.join(ref, "01_RES"),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert abs(out["SEG"] - 0.232874) < 5e-7
+
+
+def test_visualize_cli(tree, tmp_path):
+    inst_dir = tmp_path / "inst"
+    inst_dir.mkdir()
+    for i in range(2):
+        m = np.zeros((SIZE, SIZE), np.uint16)
+        m[40:90, 40:90] = 1
+        Image.fromarray(m).save(inst_dir / f"m{i:03d}.tif")
+    out_dir = str(tmp_path / "vis")
+    rc = main([
+        "visualize", "--instance-dir", str(inst_dir),
+        "--images-dir", str(tree / "01"), "--output-dir", out_dir, "--tracks",
+    ])
+    assert rc == 0
+    assert sorted(os.listdir(out_dir)) == ["vis_frame_000.png", "vis_frame_001.png"]
+
+
+@pytest.mark.slow
+def test_full_workflow_train_predict_track(tree, tmp_path):
+    """The reference README's 8-step workflow end-to-end on a tiny net."""
+    ckpt = str(tmp_path / "ckpts")
+    assert main(["preprocess", "--data-root", str(tree), "--sequence", "01"]) == 0
+    # tiny net via config file
+    cfg_file = str(tmp_path / "cfg.json")
+    from unetseg_tpu.core.config import Config, ModelConfig
+
+    cfg = Config(model=ModelConfig(compute_dtype="float32", base_features=4))
+    with open(cfg_file, "w") as f:
+        f.write(cfg.to_json())
+    assert main([
+        "train", "--config", cfg_file, "--data-root", str(tree),
+        "--epochs", "1", "--batch-size", "2", "--checkpoint-dir", ckpt,
+        "--max-steps", "2", "--no-augment",
+    ]) == 0
+    out_dir = str(tmp_path / "pred")
+    assert main([
+        "predict", "--config", cfg_file, "--checkpoint-dir", ckpt,
+        "--data-root", str(tree), "--sequence", "01",
+        "--output-dir", out_dir, "--min-cell-size", "1",
+    ]) == 0
+    inst_dir = os.path.join(out_dir, "01_RES_INST")
+    assert len(os.listdir(inst_dir)) == 4
+    assert main(["track", "--instance-dir", inst_dir]) == 0
+    assert os.path.exists(os.path.join(out_dir, "res_track.txt"))

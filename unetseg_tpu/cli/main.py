@@ -1,0 +1,468 @@
+"""Command-line interface.
+
+The reference has no CLI at all: every script hardcodes module constants
+(including absolute Windows paths) and its README documents flags the code
+never parses (reference: scripts/*.py, README.md:183-290; SURVEY.md §5
+'Config / flag system'). This CLI provides the full 8-step workflow as real
+subcommands with defaults equal to the reference constants:
+
+    python -m unetseg_tpu preprocess --data-root ... --sequence 01
+    python -m unetseg_tpu train --data-root ... [--epochs 20]
+    python -m unetseg_tpu infer --checkpoint-dir ... --input t000.tif
+    python -m unetseg_tpu predict --checkpoint-dir ... --data-root ... [--tiled]
+    python -m unetseg_tpu track --instance-dir ... --output res_track.txt
+    python -m unetseg_tpu evaluate --checkpoint-dir ... --data-root ...
+    python -m unetseg_tpu evaluate-ctc seg|tra|det --gt-dir ... --res-dir ...
+    python -m unetseg_tpu visualize --instance-dir ... --images-dir ...
+    python -m unetseg_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from unetseg_tpu.core.config import (
+    Config,
+    DataConfig,
+    InferConfig,
+    ModelConfig,
+    TrackConfig,
+    TrainConfig,
+)
+
+
+# --------------------------------------------------------------------- utils
+def _load_config(args) -> Config:
+    cfg = Config.from_json_file(args.config) if getattr(args, "config", None) else Config()
+    return cfg
+
+
+def _model_cfg(cfg: Config, args) -> ModelConfig:
+    kw = {}
+    if getattr(args, "classes", None) is not None:
+        kw["num_classes"] = args.classes
+    if getattr(args, "dtype", None):
+        kw["compute_dtype"] = args.dtype
+    if getattr(args, "bilinear", False):
+        kw["bilinear"] = True
+    return dataclasses.replace(cfg.model, **kw)
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", help="JSON config file (Config.to_json layout)")
+    p.add_argument("--dtype", choices=["bfloat16", "float32"], default=None,
+                   help="compute dtype (default bfloat16)")
+
+
+# ---------------------------------------------------------------- preprocess
+def cmd_preprocess(args) -> int:
+    from unetseg_tpu.data.io import SequencePaths, file_number_str, read_image
+    from unetseg_tpu.ops.weight_maps import weight_map
+
+    cfg = _load_config(args)
+    paths = SequencePaths(args.data_root or cfg.data.data_root,
+                          args.sequence or cfg.data.sequence)
+    os.makedirs(paths.weight_maps_dir, exist_ok=True)
+    images = paths.image_files()
+    if not images:
+        print(f"error: no t*.tif frames under {paths.images_dir}", file=sys.stderr)
+        return 1
+    done = skipped = 0
+    for img in images:
+        num = file_number_str(img)
+        mask_path = paths.mask_path(num)
+        out_path = paths.weight_map_path(num)
+        if not os.path.exists(mask_path):
+            print(f"warning: no mask for frame {num}, skipping")
+            continue
+        if os.path.exists(out_path) and not args.force:
+            skipped += 1
+            continue
+        mask = read_image(mask_path)
+        wm = weight_map(mask, w0=args.w0, sigma=args.sigma,
+                        mode=args.mode, device=args.device)
+        np.save(out_path, wm)
+        done += 1
+        print(f"weight_map_{num}.npy written")
+    print(f"preprocess finished: {done} written, {skipped} already existed")
+    return 0
+
+
+# --------------------------------------------------------------------- train
+def cmd_train(args) -> int:
+    cfg = _load_config(args)
+    data_kw = {}
+    if args.data_root:
+        data_kw["data_root"] = args.data_root
+    if args.sequence:
+        data_kw["sequence"] = args.sequence
+    if args.no_augment:
+        data_kw["augment"] = False
+    train_kw = {}
+    for flag, name in [
+        ("epochs", "num_epochs"), ("batch_size", "batch_size"),
+        ("lr", "learning_rate"), ("seed", "seed"),
+        ("checkpoint_dir", "checkpoint_dir"), ("metrics_jsonl", "metrics_jsonl"),
+    ]:
+        v = getattr(args, flag)
+        if v is not None:
+            train_kw[name] = v
+    if args.resume:
+        train_kw["resume"] = True
+    cfg = Config(
+        model=_model_cfg(cfg, args),
+        data=dataclasses.replace(cfg.data, **data_kw),
+        train=dataclasses.replace(cfg.train, **train_kw),
+        infer=cfg.infer, track=cfg.track, eval=cfg.eval, mesh=cfg.mesh,
+    )
+    from unetseg_tpu.train.loop import train
+
+    result = train(cfg, max_steps=args.max_steps)
+    print(
+        f"training finished: best val loss {result.best_val_loss:.4f} "
+        f"at epoch {result.best_epoch}"
+    )
+    return 0
+
+
+# --------------------------------------------------------------------- infer
+def cmd_infer(args) -> int:
+    from PIL import Image
+
+    from unetseg_tpu.infer.engine import Predictor, load_image_01
+
+    cfg = _load_config(args)
+    icfg = dataclasses.replace(
+        cfg.infer,
+        threshold=args.threshold,
+        normalize=not args.no_normalize,
+    )
+    pred = Predictor.from_checkpoint(
+        args.checkpoint_dir, model_cfg=_model_cfg(cfg, args), infer_cfg=icfg,
+        epoch=args.epoch,
+    )
+    if args.tiled:
+        image = load_image_01(args.input, None)
+        mask = pred.predict_image_tiled(image)
+    else:
+        image = load_image_01(args.input, icfg.image_size)
+        mask = pred.predict_image(image)
+    out = args.output or "predicted_mask.png"
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    Image.fromarray((mask * 255).astype(np.uint8)).save(out)
+    print(f"wrote {out} ({mask.shape[0]}x{mask.shape[1]})")
+    return 0
+
+
+# ------------------------------------------------------------------- predict
+def cmd_predict(args) -> int:
+    from unetseg_tpu.data.io import prediction_dirs
+    from unetseg_tpu.infer.engine import Predictor
+
+    cfg = _load_config(args)
+    data_root = args.data_root or cfg.data.data_root
+    sequence = args.sequence or cfg.data.sequence
+    icfg = dataclasses.replace(
+        cfg.infer,
+        threshold=args.threshold,
+        min_cell_size=args.min_cell_size,
+    )
+    pred = Predictor.from_checkpoint(
+        args.checkpoint_dir, model_cfg=_model_cfg(cfg, args), infer_cfg=icfg,
+        epoch=args.epoch,
+    )
+    masks_dir, inst_dir = prediction_dirs(data_root, sequence)
+    if args.output_dir:
+        masks_dir = os.path.join(args.output_dir, f"{sequence}_RES")
+        inst_dir = os.path.join(args.output_dir, f"{sequence}_RES_INST")
+    written = pred.predict_sequence(
+        os.path.join(data_root, sequence),
+        masks_dir,
+        inst_dir,
+        batch_size=args.batch_size,
+        tiled=args.tiled,
+        resize_output_to=args.resize_output,
+        progress=lambda i, n: print(f"  {i}/{n} frames", end="\r", flush=True),
+    )
+    print(f"\nwrote {len(written)} files -> {masks_dir} , {inst_dir}")
+    return 0
+
+
+# --------------------------------------------------------------------- track
+def cmd_track(args) -> int:
+    from unetseg_tpu.core.config import TrackConfig
+    from unetseg_tpu.data.io import frame_number, read_image, sorted_frames
+    from unetseg_tpu.track.ctc_io import write_res_track
+    from unetseg_tpu.track.tracker import Tracker
+
+    files = sorted_frames(args.instance_dir, "m*.tif")
+    files = [f for f in files if not os.path.basename(f).startswith("mask")]
+    if not files:
+        print(f"error: no m*.tif instance masks in {args.instance_dir}", file=sys.stderr)
+        return 1
+    tcfg = TrackConfig(
+        iou_threshold_track=args.iou_track,
+        iou_threshold_division=args.iou_division,
+        max_children=args.max_children,
+    )
+    tracker = Tracker(tcfg, faithful_active_map=args.faithful)
+    for f in files:
+        tracker.update(read_image(f), frame_number(f))
+    tracks = tracker.tracks()
+    out = args.output or os.path.join(
+        os.path.dirname(args.instance_dir.rstrip("/")), "res_track.txt"
+    )
+    write_res_track(out, tracks, parent_none=-1 if args.reference_parent else 0)
+    print(f"tracked {len(files)} frames -> {len(tracks)} tracks -> {out}")
+    return 0
+
+
+# ------------------------------------------------------------------ evaluate
+def cmd_evaluate(args) -> int:
+    from unetseg_tpu.data.dataset import HeLaArrays, train_val_split
+    from unetseg_tpu.infer.engine import Predictor
+    from unetseg_tpu.metrics.binary import dice as dice_fn
+    from unetseg_tpu.metrics.binary import iou as iou_fn
+    from unetseg_tpu.models.shapes import center_crop_bounds
+
+    cfg = _load_config(args)
+    data_root = args.data_root or cfg.data.data_root
+    sequences = args.sequences or [cfg.data.sequence]
+    pred = Predictor.from_checkpoint(
+        args.checkpoint_dir, model_cfg=_model_cfg(cfg, args),
+        infer_cfg=cfg.infer, epoch=args.epoch,
+    )
+    ious: List[float] = []
+    dices: List[float] = []
+    for seq in sequences:
+        data = HeLaArrays.load(
+            dataclasses.replace(cfg.data, data_root=data_root, sequence=seq),
+            require_weight_maps=False,
+            image_size=cfg.infer.image_size,
+        )
+        idx = np.arange(len(data))
+        if args.val_only:
+            _, idx = train_val_split(len(data), cfg.data.val_percent, args.seed)
+        bs = args.batch_size or cfg.train.batch_size
+        for s in range(0, len(idx), bs):
+            chunk = idx[s : s + bs]
+            probs = np.asarray(pred.probs(data.images[chunk]))
+            binary = probs > cfg.infer.threshold
+            th = binary.shape[1]
+            h = data.masks.shape[1]
+            a0, a1 = center_crop_bounds(h, th)
+            gt = data.masks[chunk][:, a0:a1, a0:a1] > 0
+            for k in range(len(chunk)):
+                ious.append(iou_fn(binary[k], gt[k]))
+                dices.append(dice_fn(binary[k], gt[k]))
+    print(json.dumps({
+        "n_samples": len(ious),
+        "mean_iou": float(np.mean(ious)) if ious else 0.0,
+        "mean_dice": float(np.mean(dices)) if dices else 0.0,
+    }))
+    return 0
+
+
+# -------------------------------------------------------------- evaluate-ctc
+def cmd_evaluate_ctc(args) -> int:
+    from unetseg_tpu.metrics import ctc
+
+    backend = args.backend
+    if args.measure == "seg":
+        r = ctc.seg_measure(args.gt_dir, args.res_dir, backend=backend)
+        print(json.dumps({"SEG": r.value, "n_objects": r.n_objects}))
+    else:
+        r = ctc.tra_measure(
+            args.gt_dir, args.res_dir, res_track_path=args.res_track, backend=backend
+        )
+        out = {
+            "TRA": r.tra,
+            "DET": r.det,
+            "DET_no_fp_penalty": r.det_without_fp_penalty,
+            "AOGM": r.aogm,
+            "AOGM_0": r.aogm0,
+            **{k: float(v) for k, v in r.counts.items()},
+        }
+        print(json.dumps(out))
+    return 0
+
+
+# ----------------------------------------------------------------- visualize
+def cmd_visualize(args) -> int:
+    from unetseg_tpu.data.io import frame_number, read_image, sorted_frames
+    from unetseg_tpu.track.tracker import Tracker
+    from unetseg_tpu.viz.overlays import save_frame_overlay
+
+    inst_files = sorted_frames(args.instance_dir, "m*.tif")
+    inst_files = [f for f in inst_files if not os.path.basename(f).startswith("mask")]
+    if not inst_files:
+        print("error: no instance masks found", file=sys.stderr)
+        return 1
+    img_files = {frame_number(f): f for f in sorted_frames(args.images_dir, "t*.tif")}
+    tracker = Tracker() if args.tracks else None
+    os.makedirs(args.output_dir, exist_ok=True)
+    count = 0
+    for f in inst_files[: args.max_frames]:
+        num = frame_number(f)
+        inst = read_image(f)
+        assignment = tracker.update(inst, num) if tracker else None
+        img_path = img_files.get(num)
+        if img_path is None:
+            continue
+        from unetseg_tpu.infer.engine import load_image_01
+
+        img = load_image_01(img_path, inst.shape[0] if args.resize_image else None)
+        if img.shape != inst.shape:
+            from PIL import Image as PILImage
+
+            img = np.asarray(
+                PILImage.fromarray((img * 255).astype(np.uint8)).resize(
+                    (inst.shape[1], inst.shape[0]), PILImage.BILINEAR
+                ),
+                np.float32,
+            ) / 255.0
+        out = os.path.join(args.output_dir, f"vis_frame_{num:03d}.png")
+        save_frame_overlay(out, img, inst, assignment, title=f"frame {num}")
+        count += 1
+    print(f"wrote {count} overlays -> {args.output_dir}")
+    return 0
+
+
+# --------------------------------------------------------------------- bench
+def cmd_bench(args) -> int:
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return subprocess.call([sys.executable, os.path.join(root, "bench.py")])
+
+
+# -------------------------------------------------------------------- parser
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="unetseg_tpu",
+        description="TPU-native U-Net cell segmentation & tracking",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("preprocess", help="generate EDT weight maps")
+    _add_common(sp)
+    sp.add_argument("--data-root", default=None)
+    sp.add_argument("--sequence", default=None)
+    sp.add_argument("--w0", type=float, default=10.0)
+    sp.add_argument("--sigma", type=float, default=5.0)
+    sp.add_argument("--mode", choices=["reference", "paper"], default="reference")
+    sp.add_argument("--device", action="store_true", help="compute EDTs on the accelerator")
+    sp.add_argument("--force", action="store_true", help="overwrite existing maps")
+    sp.set_defaults(fn=cmd_preprocess)
+
+    sp = sub.add_parser("train", help="train the U-Net")
+    _add_common(sp)
+    sp.add_argument("--data-root", default=None)
+    sp.add_argument("--sequence", default=None)
+    sp.add_argument("--epochs", type=int, default=None)
+    sp.add_argument("--batch-size", dest="batch_size", type=int, default=None)
+    sp.add_argument("--lr", type=float, default=None)
+    sp.add_argument("--seed", type=int, default=None)
+    sp.add_argument("--checkpoint-dir", dest="checkpoint_dir", default=None)
+    sp.add_argument("--metrics-jsonl", dest="metrics_jsonl", default=None)
+    sp.add_argument("--no-augment", action="store_true")
+    sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--max-steps", type=int, default=None)
+    sp.add_argument("--classes", type=int, default=None)
+    sp.add_argument("--bilinear", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("infer", help="segment one image")
+    _add_common(sp)
+    sp.add_argument("--checkpoint-dir", required=True)
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", default=None)
+    sp.add_argument("--epoch", type=int, default=None)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--tiled", action="store_true", help="overlap-tile full resolution")
+    sp.add_argument("--no-normalize", action="store_true")
+    sp.add_argument("--classes", type=int, default=None)
+    sp.add_argument("--bilinear", action="store_true")
+    sp.set_defaults(fn=cmd_infer)
+
+    sp = sub.add_parser("predict", help="segment a sequence into masks + instances")
+    _add_common(sp)
+    sp.add_argument("--checkpoint-dir", required=True)
+    sp.add_argument("--data-root", default=None)
+    sp.add_argument("--sequence", default=None)
+    sp.add_argument("--output-dir", default=None)
+    sp.add_argument("--epoch", type=int, default=None)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--min-cell-size", dest="min_cell_size", type=int, default=15)
+    sp.add_argument("--batch-size", dest="batch_size", type=int, default=None)
+    sp.add_argument("--tiled", action="store_true")
+    sp.add_argument("--resize-output", dest="resize_output", type=int, default=None,
+                    help="nearest-resize outputs (e.g. 512 to match GT size)")
+    sp.add_argument("--classes", type=int, default=None)
+    sp.add_argument("--bilinear", action="store_true")
+    sp.set_defaults(fn=cmd_predict)
+
+    sp = sub.add_parser("track", help="track instance masks into res_track.txt")
+    sp.add_argument("--instance-dir", required=True)
+    sp.add_argument("--output", default=None)
+    sp.add_argument("--iou-track", type=float, default=0.3)
+    sp.add_argument("--iou-division", type=float, default=0.1)
+    sp.add_argument("--max-children", type=int, default=2)
+    sp.add_argument("--faithful", action="store_true",
+                    help="replicate the reference's stale active-label map")
+    sp.add_argument("--reference-parent", action="store_true",
+                    help="write parent -1 like the reference instead of CTC's 0")
+    sp.set_defaults(fn=cmd_track)
+
+    sp = sub.add_parser("evaluate", help="IoU/Dice against silver truth")
+    _add_common(sp)
+    sp.add_argument("--checkpoint-dir", required=True)
+    sp.add_argument("--data-root", default=None)
+    sp.add_argument("--sequences", nargs="*", default=None)
+    sp.add_argument("--val-only", action="store_true")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--batch-size", dest="batch_size", type=int, default=None)
+    sp.add_argument("--epoch", type=int, default=None)
+    sp.add_argument("--classes", type=int, default=None)
+    sp.add_argument("--bilinear", action="store_true")
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("evaluate-ctc", help="official CTC SEG/TRA/DET measures")
+    sp.add_argument("measure", choices=["seg", "tra", "det"])
+    sp.add_argument("--gt-dir", required=True,
+                    help="GT dir ({seq}_GT/SEG for seg, {seq}_GT/TRA for tra/det)")
+    sp.add_argument("--res-dir", required=True)
+    sp.add_argument("--res-track", default=None)
+    sp.add_argument("--backend", choices=["native", "python"], default="native")
+    sp.set_defaults(fn=cmd_evaluate_ctc)
+
+    sp = sub.add_parser("visualize", help="overlay instances / track ids on frames")
+    sp.add_argument("--instance-dir", required=True)
+    sp.add_argument("--images-dir", required=True)
+    sp.add_argument("--output-dir", required=True)
+    sp.add_argument("--tracks", action="store_true", help="show stable track ids")
+    sp.add_argument("--max-frames", type=int, default=10**9)
+    sp.add_argument("--resize-image", action="store_true")
+    sp.set_defaults(fn=cmd_visualize)
+
+    sp = sub.add_parser("bench", help="run the performance benchmark")
+    sp.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
