@@ -38,7 +38,7 @@ from unetseg_tpu.data.io import (
     write_mask_u16,
     write_mask_u8,
 )
-from unetseg_tpu.infer.tiling import TileGrid, plan_tiles, tiled_apply
+from unetseg_tpu.infer.tiling import TileGrid, make_tiled_fn, plan_tiles, tiled_apply
 from unetseg_tpu.models.unet import UNet
 from unetseg_tpu.ops.losses import binary_probs_from_logits
 from unetseg_tpu.post.cc import get_instance_masks
@@ -62,19 +62,34 @@ class Predictor:
     batch_stats: Any
     cfg: InferConfig = field(default_factory=InferConfig)
     mesh: Optional[MeshSpec] = None
+    # Fold BatchNorm into conv weights for the eval path (see infer/folding):
+    # same math, all-bf16 conv+relu, measurably faster. Disable to run the
+    # training graph verbatim.
+    fold: bool = True
 
     def __post_init__(self):
-        variables = {"params": self.params, "batch_stats": self.batch_stats}
+        if self.fold and self.batch_stats is not None:
+            from unetseg_tpu.infer.folding import fold_batchnorm
+
+            fmodel, fvars = fold_batchnorm(
+                self.model.cfg,
+                {"params": self.params, "batch_stats": self.batch_stats},
+            )
+            apply_fn = lambda x: fmodel.apply(fvars, x)
+        else:
+            variables = {"params": self.params, "batch_stats": self.batch_stats}
+            apply_fn = lambda x: self.model.apply(variables, x, train=False)
 
         @jax.jit
         def _probs(images: jnp.ndarray) -> jnp.ndarray:
             x = images
             if self.cfg.normalize:
                 x = (x - self.cfg.normalize_mean) / self.cfg.normalize_std
-            logits = self.model.apply(variables, x[..., None], train=False)
+            logits = apply_fn(x[..., None])
             return binary_probs_from_logits(logits)
 
         self._probs_fn = _probs
+        self._tiled_cache = {}
 
     # ------------------------------------------------------------- forward
     def probs(self, images: np.ndarray) -> jnp.ndarray:
@@ -97,15 +112,17 @@ class Predictor:
         """Full-resolution seamless probability map for an arbitrary-size
         image via the overlap-tile strategy."""
         h, w = image.shape
-        grid = plan_tiles(h, w, tile_input or self.cfg.tile_input)
-        out = tiled_apply(
-            self._probs_fn,
-            jnp.asarray(image, jnp.float32),
-            grid,
-            tile_batch=tile_batch or self.cfg.tile_batch,
-            mesh=self.mesh,
-        )
-        return np.asarray(out)
+        t_in = tile_input or self.cfg.tile_input
+        t_batch = tile_batch or self.cfg.tile_batch
+        key = (h, w, t_in, t_batch)
+        fn = self._tiled_cache.get(key)
+        if fn is None:
+            grid = plan_tiles(h, w, t_in)
+            fn = make_tiled_fn(
+                self._probs_fn, grid, tile_batch=t_batch, mesh=self.mesh
+            )
+            self._tiled_cache[key] = fn
+        return np.asarray(fn(jnp.asarray(image, jnp.float32)))
 
     def predict_image_tiled(self, image: np.ndarray) -> np.ndarray:
         return (self.probs_tiled(image) > self.cfg.threshold).astype(np.uint8)

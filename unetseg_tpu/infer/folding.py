@@ -1,0 +1,119 @@
+"""BatchNorm folding for the inference fast path.
+
+In eval mode BatchNorm is a per-channel affine transform, so it folds into
+the preceding convolution:
+
+    W' = W * gamma / sqrt(var + eps)        (per output channel)
+    b' = (b - mean) * gamma / sqrt(var + eps) + beta
+
+The training model keeps fp32 BN statistics for accuracy (models/unet.py);
+at inference those fp32 round-trips between bf16 convs cost real HBM
+bandwidth on every layer. Folding removes every normalization op and lets
+the whole network run conv+relu in bf16 end-to-end — same math, measurably
+faster (see bench.py). Parity with the unfolded model is tested to bf16
+tolerance in tests/test_folding.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from unetseg_tpu.core.config import ModelConfig
+from unetseg_tpu.models.unet import (
+    UNet,
+    center_crop_nhwc,
+    kaiming_normal_fan_out,
+    upsample_bilinear_align_corners,
+)
+
+
+class FoldedDoubleConv(nn.Module):
+    """(valid 3x3 conv -> ReLU) x2 — BN already folded into the weights."""
+
+    features: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(2):
+            x = nn.Conv(
+                self.features, (3, 3), padding="VALID", use_bias=True,
+                dtype=self.compute_dtype, param_dtype=jnp.float32,
+                name=f"conv{i}",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+class FoldedUNet(nn.Module):
+    """Inference-only U-Net with identical topology and folded parameters."""
+
+    cfg: ModelConfig = ModelConfig()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        feats = tuple(cfg.base_features * (2**i) for i in range(cfg.levels))
+        x = x.astype(dtype)
+
+        skips = []
+        for lvl, f in enumerate(feats):
+            if lvl > 0:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = FoldedDoubleConv(f, compute_dtype=dtype, name=f"enc{lvl}")(x)
+            skips.append(x)
+
+        x = skips[-1]
+        for i, skip in enumerate(reversed(skips[:-1])):
+            in_feats = x.shape[-1]
+            if cfg.bilinear:
+                x = upsample_bilinear_align_corners(x, 2)
+            else:
+                x = nn.ConvTranspose(
+                    in_feats // 2, (2, 2), strides=(2, 2), padding="VALID",
+                    dtype=dtype, param_dtype=jnp.float32, name=f"up{i}_tconv",
+                )(x)
+            skip_c = center_crop_nhwc(skip, x.shape[1], x.shape[2])
+            x = jnp.concatenate([skip_c, x.astype(dtype)], axis=-1)
+            x = FoldedDoubleConv(skip.shape[-1], compute_dtype=dtype, name=f"dec{i}")(x)
+
+        return nn.Conv(
+            cfg.num_classes, (1, 1), padding="VALID",
+            dtype=jnp.float32, param_dtype=jnp.float32, name="outc",
+        )(x.astype(jnp.float32))
+
+
+def _fold_block(block_params: Dict, block_stats: Dict, eps: float) -> Dict:
+    out = {}
+    for i in range(2):
+        conv = block_params[f"conv{i}"]
+        bn = block_params[f"bn{i}"]
+        stats = block_stats[f"bn{i}"]
+        inv = bn["scale"] / jnp.sqrt(stats["var"] + eps)
+        out[f"conv{i}"] = {
+            "kernel": conv["kernel"] * inv[None, None, None, :],
+            "bias": (conv["bias"] - stats["mean"]) * inv + bn["bias"],
+        }
+    return out
+
+
+def fold_batchnorm(
+    model_cfg: ModelConfig,
+    variables: Dict[str, Any],
+) -> Tuple[FoldedUNet, Dict[str, Any]]:
+    """(FoldedUNet, folded variables) from a trained model's variables."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    eps = model_cfg.bn_epsilon
+    folded: Dict[str, Any] = {}
+    for name, block in params.items():
+        if name.startswith(("enc", "dec")):
+            folded[name] = _fold_block(block, stats[name], eps)
+        else:  # outc, up{i}_tconv — no BN attached
+            folded[name] = block
+    return FoldedUNet(cfg=model_cfg), {"params": folded}

@@ -114,6 +114,44 @@ def pad_tile_count(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple
 
 
+def make_tiled_fn(
+    tile_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    grid: TileGrid,
+    tile_batch: Optional[int] = None,
+    mesh: Optional[MeshSpec] = None,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """One jit-compiled program for the whole tiled run: mirror-pad ->
+    extract -> per-chunk forward -> stitch. Eliminates per-op dispatch and
+    lets XLA overlap tile extraction with compute. With a mesh, the tile axis
+    carries a sharding constraint over (data, tile) so GSPMD splits chunks
+    across devices and gathers the stitch over ICI."""
+    n = grid.num_tiles
+    batch = tile_batch or n
+    if mesh is not None:
+        batch = pad_tile_count(batch, mesh.num_data * mesh.num_tile)
+    n_padded = pad_tile_count(n, batch)
+
+    def run(image: jnp.ndarray) -> jnp.ndarray:
+        padded = mirror_pad(image, grid)
+        tiles = extract_tiles(padded, grid)
+        if n_padded > n:
+            tiles = jnp.concatenate(
+                [tiles, jnp.repeat(tiles[:1], n_padded - n, axis=0)]
+            )
+        outs = []
+        for start in range(0, n_padded, batch):
+            chunk = tiles[start : start + batch]
+            if mesh is not None:
+                chunk = jax.lax.with_sharding_constraint(
+                    chunk, mesh.tile_sharding()
+                )
+            outs.append(tile_fn(chunk))
+        outputs = jnp.concatenate(outs, axis=0)[:n]
+        return stitch(outputs, grid)
+
+    return jax.jit(run)
+
+
 def tiled_apply(
     tile_fn: Callable[[jnp.ndarray], jnp.ndarray],
     image: jnp.ndarray,
