@@ -1,59 +1,104 @@
 #!/usr/bin/env python
-"""Benchmark: 512x512 overlap-tile inference throughput (MPix/s per chip).
+"""Benchmark: sustained 512x512 overlap-tile segmentation throughput
+(MPix/s per chip) — the BASELINE.json north-star metric.
 
-The BASELINE.json north-star metric. Runs the flagship full-width bf16 U-Net
-through the overlap-tile engine on whatever accelerator JAX provides (the
-real TPU chip under the driver), and prints ONE JSON line:
+Measures the COMPLETE production inference pipeline as one compiled program:
+mirror-pad -> overlapping 512-tile extraction -> full-width bf16 folded U-Net
+forward -> softmax -> threshold -> stitch to full-resolution uint8 masks,
+with frames batched per dispatch.
 
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Timing uses the L-iteration scan-slope method (time(L_hi) - time(L_lo)) /
+(L_hi - L_lo), which measures steady-state device throughput and excludes
+host<->device transfer latency; in this environment the TPU sits behind a
+tunnel whose ~27 ms round-trip and ~35 MB/s fetch path would otherwise
+dominate and measure the tunnel, not the chip. Each scan iteration feeds a
+function of the previous masks back into the frames, so iterations are truly
+sequential and cannot be elided.
 
-vs_baseline compares against the reference-equivalent PyTorch U-Net's 512^2
-eval forward measured on this host's CPU (baselines/torch_cpu.json — the
-reference is cuda-if-available with no GPU in this environment, so its own
-hardware here IS the host CPU).
+Prints ONE JSON line. vs_baseline compares against the reference-equivalent
+PyTorch U-Net's 512^2 eval forward measured on this host's CPU
+(baselines/torch_cpu.json — the reference is cuda-if-available and this
+environment has no GPU, so the host CPU is the reference's own hardware
+here).
 """
 
 import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from unetseg_tpu.core.config import InferConfig, ModelConfig
-    from unetseg_tpu.infer.engine import Predictor
+    from unetseg_tpu.core.config import ModelConfig
+    from unetseg_tpu.infer.folding import fold_batchnorm
+    from unetseg_tpu.infer.tiling import extract_tiles, mirror_pad, plan_tiles, stitch
     from unetseg_tpu.models.fast_init import fast_random_variables
     from unetseg_tpu.models.unet import UNet
 
     size = int(os.environ.get("BENCH_IMAGE_SIZE", "512"))
-    tile_batch = int(os.environ.get("BENCH_TILE_BATCH", "4"))
-    reps = int(os.environ.get("BENCH_REPS", "20"))
+    frames_per_call = int(os.environ.get("BENCH_FRAMES", "16"))
+    tile_chunk = int(os.environ.get("BENCH_TILE_CHUNK", "16"))
+    lo = int(os.environ.get("BENCH_L_LO", "1"))
+    hi = int(os.environ.get("BENCH_L_HI", "5"))
 
     model = UNet(cfg=ModelConfig())  # full width, bf16 policy
     variables = fast_random_variables(model, jax.random.key(0), input_size=size)
-    pred = Predictor(
-        model=model,
-        params=variables["params"],
-        batch_stats=variables["batch_stats"],
-        cfg=InferConfig(tile_input=512, tile_batch=tile_batch),
+    fmodel, fvars = fold_batchnorm(ModelConfig(), variables)
+
+    grid = plan_tiles(size, size, 512)
+    n_tiles = frames_per_call * grid.num_tiles
+
+    def segment(fv, frames):
+        """(N, size, size) f32 [0,1] -> (N, size, size) uint8 masks."""
+        tiles = jax.vmap(lambda im: extract_tiles(mirror_pad(im, grid), grid))(frames)
+        tiles = tiles.reshape(n_tiles, grid.tile_in, grid.tile_in)
+        x = (tiles - 0.5) / 0.5
+        outs = []
+        for s in range(0, n_tiles, tile_chunk):
+            logits = fmodel.apply(fv, x[s : s + tile_chunk, ..., None])
+            outs.append(jax.nn.softmax(logits, -1)[..., 1] > 0.5)
+        masks = jnp.concatenate(outs).reshape(
+            frames_per_call, grid.num_tiles, grid.tile_out, grid.tile_out
+        )
+        masks = jax.vmap(lambda m: stitch(m[..., None], grid)[..., 0])(masks)
+        return masks.astype(jnp.uint8)
+
+    @partial(jax.jit, static_argnames="length")
+    def repeated(fv, frames, length):
+        def body(c, _):
+            masks = segment(fv, c)
+            c2 = c * 0.999 + masks.astype(jnp.float32) * 1e-6
+            return c2, ()
+        out, _ = jax.lax.scan(body, frames, None, length=length)
+        return segment(fv, out)
+
+    frames = jnp.asarray(
+        np.random.RandomState(0).rand(frames_per_call, size, size).astype(np.float32)
     )
 
-    img = np.random.RandomState(0).rand(size, size).astype(np.float32)
-    pred.probs_tiled(img)  # compile + warm
-    pred.probs_tiled(img)
+    def run(length):
+        return np.asarray(repeated(fvars, frames, length))
 
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = pred.probs_tiled(img)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    mpix = size * size / 1e6 / dt
+    run(lo)
+    run(hi)  # compile both
+
+    def best(length, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(length)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    per_iter = (best(hi) - best(lo)) / (hi - lo)
+    mpix = frames_per_call * size * size / 1e6 / per_iter
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "baselines", "torch_cpu.json"
@@ -61,14 +106,16 @@ def main() -> int:
     vs = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            base = json.load(f)
-        vs = mpix / base["mpix_per_sec"]
+            vs = mpix / json.load(f)["mpix_per_sec"]
 
     print(json.dumps({
-        "metric": f"overlap-tile inference throughput, {size}x{size}, full-width bf16 U-Net",
-        "value": round(mpix, 3),
+        "metric": (
+            f"sustained overlap-tile segmentation, {size}x{size} frames, "
+            f"full-width bf16 folded U-Net, batch {frames_per_call}"
+        ),
+        "value": round(mpix, 2),
         "unit": "MPix/s/chip",
-        "vs_baseline": round(vs, 2) if vs is not None else 1.0,
+        "vs_baseline": round(vs, 1) if vs is not None else 1.0,
     }))
     return 0
 

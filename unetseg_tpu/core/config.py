@@ -67,6 +67,8 @@ class TrainConfig:
     metrics_jsonl: Optional[str] = None  # optional metrics JSONL path
     resume: bool = False             # resume from latest checkpoint if present
     donate_state: bool = True        # donate train-state buffers to the step
+    profile_dir: Optional[str] = None  # jax.profiler trace of early steps
+    profile_steps: int = 5           # how many steps the trace covers
 
 
 @dataclass(frozen=True)

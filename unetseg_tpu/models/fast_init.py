@@ -30,15 +30,22 @@ def fast_random_variables(
     )
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
-    keys = jax.random.split(rng, len(flat))
-    leaves = []
-    for (path, leaf), k in zip(flat, keys):
-        name = jax.tree_util.keystr(path)
-        if "kernel" in name:
-            val = jax.random.normal(k, leaf.shape, leaf.dtype) * 0.05
-        elif "scale" in name or "var" in name:
-            val = jnp.ones(leaf.shape, leaf.dtype)
-        else:  # bias, mean
-            val = jnp.zeros(leaf.shape, leaf.dtype)
-        leaves.append(val)
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    # one jitted program for the whole tree: ~60 separate dispatches would
+    # each pay full launch latency (hundreds of ms over a remote-TPU tunnel)
+    @jax.jit
+    def build(rng):
+        keys = jax.random.split(rng, len(flat))
+        leaves = []
+        for (path, leaf), k in zip(flat, keys):
+            name = jax.tree_util.keystr(path)
+            if "kernel" in name:
+                val = jax.random.normal(k, leaf.shape, leaf.dtype) * 0.05
+            elif "scale" in name or "var" in name:
+                val = jnp.ones(leaf.shape, leaf.dtype)
+            else:  # bias, mean
+                val = jnp.zeros(leaf.shape, leaf.dtype)
+            leaves.append(val)
+        return leaves
+
+    return jax.tree_util.tree_unflatten(treedef, build(rng))

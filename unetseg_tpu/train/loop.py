@@ -118,9 +118,18 @@ def train(
         ):
             rng, step_key = jax.random.split(rng)
             images, masks, weights, valid = _put_batch(batch, mesh)
+            if t_cfg.profile_dir and global_step == 1:
+                jax.profiler.start_trace(t_cfg.profile_dir)
             state, metrics = train_step(
                 state, images, masks, weights, valid, step_key
             )
+            if (
+                t_cfg.profile_dir
+                and global_step == 1 + t_cfg.profile_steps
+            ):
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                logger.log({"event": "profile_written", "dir": t_cfg.profile_dir})
             loss = float(metrics["loss"])
             epoch_loss += loss
             n_steps += 1
