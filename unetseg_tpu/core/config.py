@@ -63,7 +63,8 @@ class TrainConfig:
     save_checkpoint: bool = True
     keep_best_k: int = 3
     seed: int = 0
-    log_every: int = 1               # steps between metric log lines
+    log_every: int = 10              # steps between metric log lines (each
+                                     # log point syncs a device scalar)
     metrics_jsonl: Optional[str] = None  # optional metrics JSONL path
     resume: bool = False             # resume from latest checkpoint if present
     donate_state: bool = True        # donate train-state buffers to the step

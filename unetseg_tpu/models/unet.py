@@ -111,19 +111,31 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
 
-        xf = x.astype(jnp.float32)
+        # Statistics accumulate in fp32 WITHOUT materializing an fp32 copy of
+        # the activations (one-pass E[x^2] - E[x]^2): under bf16 the naive
+        # x.astype(f32) doubles HBM traffic for every layer and dominated the
+        # train step. Elementwise normalization stays in the input dtype with
+        # per-channel fp32 scalars folded to a single multiply-add.
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             if item_mask is None:
-                mean = jnp.mean(xf, axis=(0, 1, 2))
-                var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+                mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
+                mean_sq = jnp.mean(
+                    jnp.square(x), axis=(0, 1, 2), dtype=jnp.float32
+                )
                 n = jnp.float32(x.shape[0] * x.shape[1] * x.shape[2])
             else:
-                w = item_mask.astype(jnp.float32)[:, None, None, None]
-                n = jnp.maximum(jnp.sum(w) * x.shape[1] * x.shape[2], 1.0)
-                mean = jnp.sum(xf * w, axis=(0, 1, 2)) / n
-                var = jnp.sum(jnp.square(xf - mean) * w, axis=(0, 1, 2)) / n
+                w = item_mask.astype(x.dtype)[:, None, None, None]
+                n = jnp.maximum(
+                    jnp.sum(item_mask.astype(jnp.float32)) * x.shape[1] * x.shape[2],
+                    1.0,
+                )
+                mean = jnp.sum(x * w, axis=(0, 1, 2), dtype=jnp.float32) / n
+                mean_sq = (
+                    jnp.sum(jnp.square(x) * w, axis=(0, 1, 2), dtype=jnp.float32) / n
+                )
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 unbias = n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (
@@ -133,8 +145,12 @@ class MaskedBatchNorm(nn.Module):
                     self.momentum * ra_var.value + (1 - self.momentum) * var * unbias
                 )
 
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        a = scale * inv
+        b = bias - mean * a
+        if x.dtype == jnp.float32:
+            return x * a + b
+        return x * a.astype(x.dtype) + b.astype(x.dtype)
 
 
 class DoubleConv(nn.Module):

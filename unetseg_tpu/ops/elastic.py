@@ -33,20 +33,38 @@ def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> jnp.ndarray:
     return k / jnp.sum(k)
 
 
+def blur_band_matrix(size: int, sigma: float, truncate: float = 4.0) -> jnp.ndarray:
+    """(size, size) banded matrix B with B[i, j] = gauss(j - i): B @ x blurs a
+    length-`size` signal with zero ('constant') boundary — rows near the edge
+    simply truncate, which is exactly scipy's mode='constant', cval=0."""
+    k = gaussian_kernel1d(sigma, truncate)
+    r = (k.shape[0] - 1) // 2
+    i = jnp.arange(size)
+    d = i[None, :] - i[:, None] + r  # kernel tap index of column j for row i
+    valid = (d >= 0) & (d < k.shape[0])
+    return jnp.where(valid, k[jnp.clip(d, 0, k.shape[0] - 1)], 0.0)
+
+
 def gaussian_blur_2d(
     img: jnp.ndarray, sigma: float, truncate: float = 4.0
 ) -> jnp.ndarray:
     """Separable Gaussian blur of a (H, W) array, zero ('constant') boundary —
-    matches scipy gaussian_filter(mode='constant', cval=0)."""
-    k = gaussian_kernel1d(sigma, truncate)
-    r = (k.shape[0] - 1) // 2
-    x = img.astype(jnp.float32)[None, :, :, None]  # NHWC
-    kh = k.reshape(-1, 1, 1, 1)  # (K,1,1,1) HWIO
-    kw = k.reshape(1, -1, 1, 1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(r, r), (0, 0)], dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (r, r)], dimension_numbers=dn)
-    return x[0, :, :, 0]
+    matches scipy gaussian_filter(mode='constant', cval=0).
+
+    TPU note: a single-channel conv would use 1/128 of the vector lanes, and
+    at sigma=20 the kernel has 161 taps — convolution form measured ~88 ms
+    per train batch. The blur is instead computed as two dense banded
+    matmuls, B_h @ img @ B_w^T, which the MXU executes in microseconds; the
+    math is identical (the band matrix rows ARE the truncated kernels).
+    """
+    h, w = img.shape
+    bh = blur_band_matrix(h, sigma, truncate)
+    bw = blur_band_matrix(w, sigma, truncate)
+    x = img.astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST  # full-f32 passes; bf16 default would
+    out = jnp.einsum("ik,kw->iw", bh, x, precision=hi)  # fail scipy parity
+    out = jnp.einsum("hw,jw->hj", out, bw, precision=hi)
+    return out
 
 
 def displacement_fields(

@@ -110,7 +110,11 @@ def train(
 
     for epoch in range(start_epoch, t_cfg.num_epochs):
         # ------------------------------------------------------------ train
-        epoch_loss, n_steps = 0.0, 0
+        # Losses stay on device until a log point: fetching a scalar every
+        # step would serialize the pipeline on host round-trips (the remote
+        # TPU tunnel costs ~27 ms per fetch; even locally it stalls dispatch).
+        pending_losses = []
+        n_steps = 0
         timer.reset()
         for batch in iter_batches(
             data, train_idx, t_cfg.batch_size, shuffle=True,
@@ -130,8 +134,7 @@ def train(
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 logger.log({"event": "profile_written", "dir": t_cfg.profile_dir})
-            loss = float(metrics["loss"])
-            epoch_loss += loss
+            pending_losses.append(metrics["loss"])
             n_steps += 1
             global_step += 1
             timer.tick()
@@ -141,7 +144,7 @@ def train(
                         "event": "train_step",
                         "epoch": epoch,
                         "step": global_step,
-                        "loss": loss,
+                        "loss": float(pending_losses[-1]),
                         **timer.rates(),
                     },
                     echo=(global_step % (t_cfg.log_every * 10) == 0),
@@ -150,6 +153,7 @@ def train(
                 done = True
                 break
 
+        epoch_loss = float(np.sum([float(x) for x in pending_losses]))
         avg_train = epoch_loss / max(n_steps, 1)
 
         # -------------------------------------------------------------- val
