@@ -30,14 +30,23 @@ def _masked_mean_loss(
     full_targets: jnp.ndarray,
     full_weights: Optional[jnp.ndarray],
     valid: jnp.ndarray,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """mean over valid items of (w * CE) with center-cropped targets
-    (reference: scripts/train.py:118-128)."""
+    (reference: scripts/train.py:118-128). With use_pallas, the per-pixel
+    weighted CE (forward and backward) runs as the fused Pallas kernel in
+    ops/pallas/wce.py."""
     th, tw = logits.shape[1], logits.shape[2]
     t = center_crop_nhw(full_targets, th, tw)
-    ce = per_pixel_ce(logits, t)
-    if full_weights is not None:
-        ce = ce * center_crop_nhw(full_weights, th, tw).astype(jnp.float32)
+    if use_pallas and full_weights is not None:
+        from unetseg_tpu.ops.pallas.wce import weighted_ce_pixels
+
+        w = center_crop_nhw(full_weights, th, tw)
+        ce = weighted_ce_pixels(logits, t, w)
+    else:
+        ce = per_pixel_ce(logits, t)
+        if full_weights is not None:
+            ce = ce * center_crop_nhw(full_weights, th, tw).astype(jnp.float32)
     item_mask = valid.astype(jnp.float32)[:, None, None]
     n_pix = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0) * th * tw
     return jnp.sum(ce * item_mask) / n_pix
@@ -49,6 +58,7 @@ def make_train_step(
     elastic_alpha: float = 2000.0,
     elastic_sigma: float = 20.0,
     donate: bool = True,
+    use_pallas_loss: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -74,7 +84,9 @@ def make_train_step(
                 item_mask=valid,
                 mutable=["batch_stats"],
             )
-            loss = _masked_mean_loss(logits, targets, weights, valid)
+            loss = _masked_mean_loss(
+                logits, targets, weights, valid, use_pallas=use_pallas_loss
+            )
             return loss, mutated["batch_stats"]
 
         (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
