@@ -62,6 +62,22 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="compute dtype (default bfloat16)")
 
 
+
+def _make_predictor(args, cfg: Config, icfg: InferConfig):
+    from unetseg_tpu.infer.engine import Predictor
+
+    if getattr(args, "torch_checkpoint", None):
+        return Predictor.from_torch_checkpoint(
+            args.torch_checkpoint, model_cfg=_model_cfg(cfg, args), infer_cfg=icfg
+        )
+    if not args.checkpoint_dir:
+        raise SystemExit("error: --checkpoint-dir or --torch-checkpoint required")
+    return Predictor.from_checkpoint(
+        args.checkpoint_dir, model_cfg=_model_cfg(cfg, args), infer_cfg=icfg,
+        epoch=args.epoch,
+    )
+
+
 # ---------------------------------------------------------------- preprocess
 def cmd_preprocess(args) -> int:
     from unetseg_tpu.data.io import SequencePaths, file_number_str, read_image
@@ -145,10 +161,7 @@ def cmd_infer(args) -> int:
         threshold=args.threshold,
         normalize=not args.no_normalize,
     )
-    pred = Predictor.from_checkpoint(
-        args.checkpoint_dir, model_cfg=_model_cfg(cfg, args), infer_cfg=icfg,
-        epoch=args.epoch,
-    )
+    pred = _make_predictor(args, cfg, icfg)
     if args.tiled:
         image = load_image_01(args.input, None)
         mask = pred.predict_image_tiled(image)
@@ -175,10 +188,7 @@ def cmd_predict(args) -> int:
         threshold=args.threshold,
         min_cell_size=args.min_cell_size,
     )
-    pred = Predictor.from_checkpoint(
-        args.checkpoint_dir, model_cfg=_model_cfg(cfg, args), infer_cfg=icfg,
-        epoch=args.epoch,
-    )
+    pred = _make_predictor(args, cfg, icfg)
     masks_dir, inst_dir = prediction_dirs(data_root, sequence)
     if args.output_dir:
         masks_dir = os.path.join(args.output_dir, f"{sequence}_RES")
@@ -236,10 +246,7 @@ def cmd_evaluate(args) -> int:
     cfg = _load_config(args)
     data_root = args.data_root or cfg.data.data_root
     sequences = args.sequences or [cfg.data.sequence]
-    pred = Predictor.from_checkpoint(
-        args.checkpoint_dir, model_cfg=_model_cfg(cfg, args),
-        infer_cfg=cfg.infer, epoch=args.epoch,
-    )
+    pred = _make_predictor(args, cfg, cfg.infer)
     ious: List[float] = []
     dices: List[float] = []
     for seq in sequences:
@@ -382,7 +389,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("infer", help="segment one image")
     _add_common(sp)
-    sp.add_argument("--checkpoint-dir", required=True)
+    sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--torch-checkpoint", default=None,
+                    help="reference-format .pth state dict (migration path)")
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", default=None)
     sp.add_argument("--epoch", type=int, default=None)
@@ -395,7 +404,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("predict", help="segment a sequence into masks + instances")
     _add_common(sp)
-    sp.add_argument("--checkpoint-dir", required=True)
+    sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--torch-checkpoint", default=None,
+                    help="reference-format .pth state dict (migration path)")
     sp.add_argument("--data-root", default=None)
     sp.add_argument("--sequence", default=None)
     sp.add_argument("--output-dir", default=None)
@@ -424,7 +435,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("evaluate", help="IoU/Dice against silver truth")
     _add_common(sp)
-    sp.add_argument("--checkpoint-dir", required=True)
+    sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--torch-checkpoint", default=None,
+                    help="reference-format .pth state dict (migration path)")
     sp.add_argument("--data-root", default=None)
     sp.add_argument("--sequences", nargs="*", default=None)
     sp.add_argument("--val-only", action="store_true")

@@ -186,6 +186,28 @@ class Predictor:
 
     # ------------------------------------------------------- construction
     @classmethod
+    def from_torch_checkpoint(
+        cls,
+        path: str,
+        model_cfg: Optional[ModelConfig] = None,
+        infer_cfg: Optional[InferConfig] = None,
+        mesh: Optional[MeshSpec] = None,
+    ) -> "Predictor":
+        """Load a reference-format .pth state dict (see utils/torch_import) —
+        lets reference users run their existing trained models here."""
+        from unetseg_tpu.utils.torch_import import load_reference_checkpoint
+
+        model_cfg = model_cfg or ModelConfig()
+        variables = load_reference_checkpoint(path, levels=model_cfg.levels)
+        return cls(
+            model=UNet(cfg=model_cfg),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            cfg=infer_cfg or InferConfig(),
+            mesh=mesh,
+        )
+
+    @classmethod
     def from_checkpoint(
         cls,
         checkpoint_dir: str,
