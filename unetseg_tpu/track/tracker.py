@@ -95,6 +95,14 @@ class Tracker:
         matched_prev: set = set()
         matched_curr: set = set()
 
+        # In faithful mode additions go into the live dict immediately, like
+        # the reference, whose matching loop mutates active_tracks_by_obj_label
+        # as it walks the assignment pairs (reference: scripts/track.py:186-192)
+        # — so a later pair whose prev label collides with a just-added curr
+        # label silently follows the new entry. Default mode defers additions
+        # to the end of the frame, which uses only prev-frame labels.
+        interleave = self.faithful
+
         if n_prev > 0 and n_curr > 0:
             cost = np.where(iou > 0, 1.0 - iou, _NO_OVERLAP_COST)
             rows, cols = linear_sum_assignment(cost)
@@ -106,6 +114,8 @@ class Tracker:
                         tid = st.active.pop(p_lab)
                         st.tracks[tid].end_frame = frame_num
                         assignment[curr_labels[j]] = tid
+                        if interleave:
+                            st.active[curr_labels[j]] = tid
                         matched_prev.add(i)
                         matched_curr.add(j)
 
@@ -126,6 +136,8 @@ class Tracker:
                 for j in children:
                     tid = self._new_track(frame_num, parent=parent_tid)
                     assignment[curr_labels[j]] = tid
+                    if interleave:
+                        st.active[curr_labels[j]] = tid
                     matched_curr.add(j)
                 # NOTE: like the reference (:207,218), the unmatched_curr list
                 # is not rebuilt between parents; matched_curr gates below.
@@ -133,7 +145,10 @@ class Tracker:
         # -------------------------------------------------------- new tracks
         for j in range(n_curr):
             if j not in matched_curr:
-                assignment[curr_labels[j]] = self._new_track(frame_num)
+                tid = self._new_track(frame_num)
+                assignment[curr_labels[j]] = tid
+                if interleave:
+                    st.active[curr_labels[j]] = tid
 
         self._finish_frame(mask, assignment)
         return assignment
@@ -165,9 +180,11 @@ class Tracker:
     def _finish_frame(self, mask: np.ndarray, assignment: Dict[int, int]) -> None:
         st = self.state
         if self.faithful:
-            # reference behavior: stale keys linger (scripts/track.py never
-            # clears disappeared objects)
-            st.active.update(assignment)
+            # entries were interleaved into st.active during the frame, and
+            # stale keys linger forever (the reference never clears
+            # disappeared objects). For frame 0 nothing was added yet.
+            if st.prev_mask is None:
+                st.active.update(assignment)
         else:
             st.active = dict(assignment)
         st.prev_mask = np.asarray(mask)
