@@ -343,6 +343,41 @@ def cmd_visualize(args) -> int:
     return 0
 
 
+
+# ----------------------------------------------------- visualize-prediction
+def cmd_visualize_prediction(args) -> int:
+    from unetseg_tpu.infer.engine import load_image_01
+    from unetseg_tpu.data.io import read_image
+    from unetseg_tpu.viz.overlays import save_prediction_panel
+
+    image = load_image_01(args.input, None)
+    gt = read_image(args.gt) if args.gt else None
+    pred = read_image(args.prediction)
+    save_prediction_panel(args.output, image, gt, pred)
+    print(f"wrote {args.output}")
+    return 0
+
+
+# --------------------------------------------------- visualize-augmentation
+def cmd_visualize_augmentation(args) -> int:
+    import jax
+
+    from unetseg_tpu.infer.engine import load_image_01
+    from unetseg_tpu.data.io import read_image
+    from unetseg_tpu.ops.elastic import elastic_deform
+    from unetseg_tpu.viz.overlays import save_augmentation_panel
+
+    image = load_image_01(args.input, None)
+    mask = read_image(args.mask).astype(np.int32)
+    di, dm = elastic_deform(
+        jax.random.key(args.seed), image, mask,
+        alpha=args.alpha, sigma=args.sigma,
+    )
+    save_augmentation_panel(args.output, image, mask, np.asarray(di), np.asarray(dm))
+    print(f"wrote {args.output}")
+    return 0
+
+
 # --------------------------------------------------------------------- bench
 def cmd_bench(args) -> int:
     import subprocess
@@ -466,13 +501,51 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--resize-image", action="store_true")
     sp.set_defaults(fn=cmd_visualize)
 
+    sp = sub.add_parser("visualize-prediction",
+                        help="original / GT / prediction panel figure")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--gt", default=None)
+    sp.add_argument("--prediction", required=True)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_visualize_prediction)
+
+    sp = sub.add_parser("visualize-augmentation",
+                        help="original vs elastically deformed panel")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--mask", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--alpha", type=float, default=2000.0)
+    sp.add_argument("--sigma", type=float, default=20.0)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_visualize_augmentation)
+
     sp = sub.add_parser("bench", help="run the performance benchmark")
     sp.set_defaults(fn=cmd_bench)
 
     return p
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: the full-width U-Net costs minutes
+    to compile cold (remote-TPU compile or single-core CPU); cached reruns
+    are near-instant. Opt out with UNETSEG_NO_COMPILE_CACHE=1."""
+    if os.environ.get("UNETSEG_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "UNETSEG_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "unetseg_tpu", "jax"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv: Optional[List[str]] = None) -> int:
+    _enable_compile_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 
