@@ -159,7 +159,7 @@ def cmd_infer(args) -> int:
     icfg = dataclasses.replace(
         cfg.infer,
         threshold=args.threshold,
-        normalize=not args.no_normalize,
+        normalize=args.normalize,
     )
     pred = _make_predictor(args, cfg, icfg)
     if args.tiled:
@@ -187,6 +187,7 @@ def cmd_predict(args) -> int:
         cfg.infer,
         threshold=args.threshold,
         min_cell_size=args.min_cell_size,
+        normalize=args.normalize,
     )
     pred = _make_predictor(args, cfg, icfg)
     masks_dir, inst_dir = prediction_dirs(data_root, sequence)
@@ -432,7 +433,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--epoch", type=int, default=None)
     sp.add_argument("--threshold", type=float, default=0.5)
     sp.add_argument("--tiled", action="store_true", help="overlap-tile full resolution")
-    sp.add_argument("--no-normalize", action="store_true")
+    sp.add_argument("--normalize", action="store_true",
+                    help="apply Normalize(0.5,0.5) like the reference's predict.py "
+                         "(its training does not normalize - documented skew)")
     sp.add_argument("--classes", type=int, default=None)
     sp.add_argument("--bilinear", action="store_true")
     sp.set_defaults(fn=cmd_infer)
@@ -450,6 +453,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--min-cell-size", dest="min_cell_size", type=int, default=15)
     sp.add_argument("--batch-size", dest="batch_size", type=int, default=None)
     sp.add_argument("--tiled", action="store_true")
+    sp.add_argument("--normalize", action="store_true",
+                    help="apply Normalize(0.5,0.5) like the reference's predict.py")
     sp.add_argument("--resize-output", dest="resize_output", type=int, default=None,
                     help="nearest-resize outputs (e.g. 512 to match GT size)")
     sp.add_argument("--classes", type=int, default=None)

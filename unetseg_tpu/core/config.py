@@ -81,7 +81,11 @@ class InferConfig:
     threshold: float = 0.5
     normalize_mean: float = 0.5      # scripts/predict.py:53
     normalize_std: float = 0.5
-    normalize: bool = True           # predict.py normalizes; inference.py does not
+    # The reference TRAINS on ToTensor [0,1] inputs but predict.py applies
+    # Normalize(0.5, 0.5) at inference — a train/infer skew (its inference.py
+    # does not normalize). We default to the training distribution;
+    # normalize=True reproduces predict.py's behavior.
+    normalize: bool = False
     min_cell_size: int = 15          # scripts/predict.py:47
     tile_input: int = 512            # overlap-tile input tile size
     tile_batch: int = 8              # tiles per device batch
