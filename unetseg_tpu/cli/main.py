@@ -141,7 +141,12 @@ def cmd_train(args) -> int:
     )
     from unetseg_tpu.train.loop import train
 
-    result = train(cfg, max_steps=args.max_steps)
+    data = None
+    if args.sequences:
+        from unetseg_tpu.data.dataset import HeLaArrays
+
+        data = HeLaArrays.load_many(cfg.data, args.sequences)
+    result = train(cfg, data=data, max_steps=args.max_steps)
     print(
         f"training finished: best val loss {result.best_val_loss:.4f} "
         f"at epoch {result.best_epoch}"
@@ -410,6 +415,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(sp)
     sp.add_argument("--data-root", default=None)
     sp.add_argument("--sequence", default=None)
+    sp.add_argument("--sequences", nargs="*", default=None,
+                    help="train on several sequences concatenated (e.g. 01 02)")
     sp.add_argument("--epochs", type=int, default=None)
     sp.add_argument("--batch-size", dest="batch_size", type=int, default=None)
     sp.add_argument("--lr", type=float, default=None)

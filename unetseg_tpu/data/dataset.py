@@ -92,6 +92,31 @@ class HeLaArrays:
             files=triplets,
         )
 
+    @classmethod
+    def load_many(
+        cls,
+        cfg: DataConfig,
+        sequences: Sequence[str],
+        require_weight_maps: bool = True,
+        image_size: Optional[int] = None,
+    ) -> "HeLaArrays":
+        """Concatenate several sequences (the reference's evaluate.py uses a
+        ConcatDataset over 01+02, reference: scripts/evaluate.py:54-69)."""
+        parts = [
+            cls.load(
+                dataclasses.replace(cfg, sequence=s),
+                require_weight_maps=require_weight_maps,
+                image_size=image_size,
+            )
+            for s in sequences
+        ]
+        return cls(
+            images=np.concatenate([p.images for p in parts]),
+            masks=np.concatenate([p.masks for p in parts]),
+            weight_maps=np.concatenate([p.weight_maps for p in parts]),
+            files=[t for p in parts for t in p.files],
+        )
+
 
 def train_val_split(
     n: int, val_percent: float, seed: int
