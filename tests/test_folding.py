@@ -48,6 +48,17 @@ def test_folded_bf16_close_to_fp32_eval(trained_like_variables):
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=0.15)
 
 
+def test_folded_packed_matches_unpacked(trained_like_variables):
+    """use_packed width-packing changes the schedule, not the math."""
+    model, v = trained_like_variables
+    x = jax.random.normal(jax.random.key(7), (1, SIZE, SIZE, 1))
+    fm0, fv0 = fold_batchnorm(TINY, v, use_packed=False)
+    fm1, fv1 = fold_batchnorm(TINY, v, use_packed=True)
+    a = np.asarray(fm0.apply(fv0, x))
+    b = np.asarray(fm1.apply(fv1, x))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
 def test_predictor_fold_on_off_agree(trained_like_variables):
     model, v = trained_like_variables
     cfg = InferConfig(image_size=SIZE, tile_input=SIZE, tile_batch=4)

@@ -66,6 +66,8 @@ class Predictor:
     # same math, all-bf16 conv+relu, measurably faster. Disable to run the
     # training graph verbatim.
     fold: bool = True
+    # Width-packed convs for the 64-channel stages (ops/packed_conv.py).
+    packed: bool = False
 
     def __post_init__(self):
         if self.fold and self.batch_stats is not None:
@@ -74,6 +76,7 @@ class Predictor:
             fmodel, fvars = fold_batchnorm(
                 self.model.cfg,
                 {"params": self.params, "batch_stats": self.batch_stats},
+                use_packed=self.packed,
             )
             apply_fn = lambda x: fmodel.apply(fvars, x)
         else:

@@ -31,19 +31,52 @@ from unetseg_tpu.models.unet import (
 )
 
 
+class PackableConv3x3(nn.Module):
+    """3x3 VALID conv that switches to the width-packed formulation (see
+    ops/packed_conv.py) when the output channels underfill the vector lanes
+    and the width is even — bit-equivalent, ~2x faster for C=64 stages."""
+
+    features: int
+    compute_dtype: Any = jnp.bfloat16
+    use_packed: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from unetseg_tpu.ops.packed_conv import packed_conv3x3_valid, should_pack
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        xb = x.astype(self.compute_dtype)
+        k = kernel.astype(self.compute_dtype)
+        if self.use_packed and should_pack(x.shape[2], self.features, cin):
+            return packed_conv3x3_valid(xb, k, bias)
+        dn = jax.lax.conv_dimension_numbers(
+            xb.shape, k.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            xb, k, (1, 1), "VALID", dimension_numbers=dn,
+            preferred_element_type=self.compute_dtype,
+        )
+        return y + bias.astype(self.compute_dtype)
+
+
 class FoldedDoubleConv(nn.Module):
     """(valid 3x3 conv -> ReLU) x2 — BN already folded into the weights."""
 
     features: int
     compute_dtype: Any = jnp.bfloat16
+    use_packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(2):
-            x = nn.Conv(
-                self.features, (3, 3), padding="VALID", use_bias=True,
-                dtype=self.compute_dtype, param_dtype=jnp.float32,
-                name=f"conv{i}",
+            x = PackableConv3x3(
+                self.features, compute_dtype=self.compute_dtype,
+                use_packed=self.use_packed, name=f"conv{i}",
             )(x)
             x = nn.relu(x)
         return x
@@ -53,6 +86,7 @@ class FoldedUNet(nn.Module):
     """Inference-only U-Net with identical topology and folded parameters."""
 
     cfg: ModelConfig = ModelConfig()
+    use_packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -65,7 +99,10 @@ class FoldedUNet(nn.Module):
         for lvl, f in enumerate(feats):
             if lvl > 0:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            x = FoldedDoubleConv(f, compute_dtype=dtype, name=f"enc{lvl}")(x)
+            x = FoldedDoubleConv(
+                f, compute_dtype=dtype, use_packed=self.use_packed,
+                name=f"enc{lvl}",
+            )(x)
             skips.append(x)
 
         x = skips[-1]
@@ -80,7 +117,10 @@ class FoldedUNet(nn.Module):
                 )(x)
             skip_c = center_crop_nhwc(skip, x.shape[1], x.shape[2])
             x = jnp.concatenate([skip_c, x.astype(dtype)], axis=-1)
-            x = FoldedDoubleConv(skip.shape[-1], compute_dtype=dtype, name=f"dec{i}")(x)
+            x = FoldedDoubleConv(
+                skip.shape[-1], compute_dtype=dtype, use_packed=self.use_packed,
+                name=f"dec{i}",
+            )(x)
 
         return nn.Conv(
             cfg.num_classes, (1, 1), padding="VALID",
@@ -105,6 +145,7 @@ def _fold_block(block_params: Dict, block_stats: Dict, eps: float) -> Dict:
 def fold_batchnorm(
     model_cfg: ModelConfig,
     variables: Dict[str, Any],
+    use_packed: bool = False,
 ) -> Tuple[FoldedUNet, Dict[str, Any]]:
     """(FoldedUNet, folded variables) from a trained model's variables."""
     params = variables["params"]
@@ -116,4 +157,4 @@ def fold_batchnorm(
             folded[name] = _fold_block(block, stats[name], eps)
         else:  # outc, up{i}_tconv — no BN attached
             folded[name] = block
-    return FoldedUNet(cfg=model_cfg), {"params": folded}
+    return FoldedUNet(cfg=model_cfg, use_packed=use_packed), {"params": folded}
