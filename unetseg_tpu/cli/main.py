@@ -127,12 +127,15 @@ def cmd_train(args) -> int:
         ("epochs", "num_epochs"), ("batch_size", "batch_size"),
         ("lr", "learning_rate"), ("seed", "seed"),
         ("checkpoint_dir", "checkpoint_dir"), ("metrics_jsonl", "metrics_jsonl"),
+        ("optimizer", "optimizer"),
     ]:
         v = getattr(args, flag)
         if v is not None:
             train_kw[name] = v
     if args.resume:
         train_kw["resume"] = True
+    if args.cosine:
+        train_kw["cosine_decay"] = True
     cfg = Config(
         model=_model_cfg(cfg, args),
         data=dataclasses.replace(cfg.data, **data_kw),
@@ -425,6 +428,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--metrics-jsonl", dest="metrics_jsonl", default=None)
     sp.add_argument("--no-augment", action="store_true")
     sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--optimizer", choices=["sgd", "adam", "adamw"], default=None)
+    sp.add_argument("--cosine", action="store_true", help="cosine lr decay")
     sp.add_argument("--max-steps", type=int, default=None)
     sp.add_argument("--classes", type=int, default=None)
     sp.add_argument("--bilinear", action="store_true")

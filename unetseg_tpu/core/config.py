@@ -59,6 +59,9 @@ class TrainConfig:
     num_epochs: int = 20
     learning_rate: float = 1e-4
     momentum: float = 0.99
+    optimizer: str = "sgd"           # "sgd" (reference) | "adam" | "adamw"
+    weight_decay: float = 0.0        # adamw only
+    cosine_decay: bool = False       # cosine lr schedule over num_epochs
     checkpoint_dir: str = "./checkpoints"
     save_checkpoint: bool = True
     keep_best_k: int = 3

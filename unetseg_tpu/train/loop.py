@@ -73,6 +73,7 @@ def train(
     state = create_train_state(
         init_rng, model_cfg=m_cfg, train_cfg=t_cfg,
         input_size=input_size, model=model,
+        steps_per_epoch=num_batches(len(train_idx), t_cfg.batch_size),
     )
 
     start_epoch = 0

@@ -25,8 +25,23 @@ class TrainState(train_state.TrainState):
     batch_stats: core.FrozenDict[str, Any] = None
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
+def make_optimizer(
+    cfg: TrainConfig, steps_per_epoch: Optional[int] = None
+) -> optax.GradientTransformation:
+    """SGD momentum 0.99 by default (the reference's optimizer,
+    scripts/train.py:97); adam/adamw and cosine decay as improved recipes."""
+    lr: Any = cfg.learning_rate
+    if cfg.cosine_decay and steps_per_epoch:
+        lr = optax.cosine_decay_schedule(
+            cfg.learning_rate, cfg.num_epochs * steps_per_epoch
+        )
+    if cfg.optimizer == "sgd":
+        return optax.sgd(lr, momentum=cfg.momentum)
+    if cfg.optimizer == "adam":
+        return optax.adam(lr)
+    if cfg.optimizer == "adamw":
+        return optax.adamw(lr, weight_decay=cfg.weight_decay)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
 def create_train_state(
@@ -35,6 +50,7 @@ def create_train_state(
     train_cfg: Optional[TrainConfig] = None,
     input_size: int = 512,
     model: Optional[UNet] = None,
+    steps_per_epoch: Optional[int] = None,
 ) -> TrainState:
     model = model or UNet(cfg=model_cfg or ModelConfig())
     variables = init_unet(model, rng, input_size=input_size)
@@ -42,5 +58,5 @@ def create_train_state(
         apply_fn=model.apply,
         params=variables["params"],
         batch_stats=variables["batch_stats"],
-        tx=make_optimizer(train_cfg or TrainConfig()),
+        tx=make_optimizer(train_cfg or TrainConfig(), steps_per_epoch),
     )
