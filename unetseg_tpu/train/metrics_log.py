@@ -9,6 +9,7 @@ human-readable stdout line, so runs are machine-comparable.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from dataclasses import dataclass, field
@@ -24,6 +25,8 @@ class MetricsLogger:
 
     def __post_init__(self):
         if self.jsonl_path:
+            parent = os.path.dirname(os.path.abspath(self.jsonl_path))
+            os.makedirs(parent, exist_ok=True)
             self._fh = open(self.jsonl_path, "a")
 
     def log(self, record: Dict[str, Any], echo: bool = True) -> None:
