@@ -65,6 +65,10 @@ class TrainConfig:
     checkpoint_dir: str = "./checkpoints"
     save_checkpoint: bool = True
     keep_best_k: int = 3
+    # minimum epochs between best-val saves (device->host of the 372 MB
+    # train state is expensive on slow links; the final epoch always saves
+    # if it improved)
+    checkpoint_min_interval: int = 1
     seed: int = 0
     log_every: int = 10              # steps between metric log lines (each
                                      # log point syncs a device scalar)

@@ -108,6 +108,12 @@ def train(
     history: List[Dict[str, float]] = []
     global_step = 0
     done = False
+    checkpointer = (
+        ckpt.Checkpointer(t_cfg.checkpoint_dir, keep=t_cfg.keep_best_k)
+        if t_cfg.save_checkpoint
+        else None
+    )
+    last_saved_epoch = -(10**9)
 
     for epoch in range(start_epoch, t_cfg.num_epochs):
         # ------------------------------------------------------------ train
@@ -187,16 +193,21 @@ def train(
         if val_loss < best_val:
             best_val = val_loss
             best_epoch = epoch
-            if t_cfg.save_checkpoint:
-                ckpt.save_checkpoint(
-                    t_cfg.checkpoint_dir, state, epoch, val_loss,
-                    keep=t_cfg.keep_best_k,
-                    extra={"config": cfg.to_dict()},
+            due = (
+                epoch - last_saved_epoch >= t_cfg.checkpoint_min_interval
+                or epoch == t_cfg.num_epochs - 1
+            )
+            if checkpointer is not None and due:
+                checkpointer.save(
+                    state, epoch, val_loss, extra={"config": cfg.to_dict()}
                 )
+                last_saved_epoch = epoch
                 logger.log({"event": "checkpoint", "epoch": epoch, "val_loss": val_loss})
         if done:
             break
 
+    if checkpointer is not None:
+        checkpointer.close()
     return TrainResult(
         state=state, best_val_loss=best_val, best_epoch=best_epoch, history=history
     )
