@@ -134,6 +134,23 @@ def restore_checkpoint(
     return state, int(epoch), restored.get("extra") or {}
 
 
+def read_checkpoint_config(
+    directory: str, epoch: Optional[int] = None
+) -> Dict[str, Any]:
+    """The Config dict stored alongside a checkpoint (empty if absent)."""
+    mgr = _manager(directory, keep=100)
+    if epoch is None:
+        epoch = mgr.latest_step()
+    if epoch is None:
+        mgr.close()
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    restored = mgr.restore(
+        epoch, args=ocp.args.Composite(extra=ocp.args.JsonRestore())
+    )
+    mgr.close()
+    return (restored.get("extra") or {}).get("config", {})
+
+
 def restore_params_for_inference(
     directory: str,
     state: TrainState,
@@ -142,8 +159,32 @@ def restore_params_for_inference(
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """(params, batch_stats) of the best (default) or given epoch — the
     consumer-side equivalent of the reference's torch.load into eval scripts
-    (reference: scripts/predict.py:123, scripts/inference.py:47)."""
+    (reference: scripts/predict.py:123, scripts/inference.py:47).
+
+    The optimizer state template must match what the checkpoint holds (SGD
+    momentum vs Adam moments differ structurally); the saved config is read
+    first and the template's optimizer rebuilt from it."""
     if epoch is None and prefer_best:
         epoch = best_epoch(directory)
+    try:
+        saved = read_checkpoint_config(directory, epoch)
+        train_section = saved.get("train")
+        if train_section:
+            from unetseg_tpu.core.config import TrainConfig
+
+            known = {f.name for f in __import__("dataclasses").fields(TrainConfig)}
+            t_cfg = TrainConfig(
+                **{k: v for k, v in train_section.items() if k in known}
+            )
+            from unetseg_tpu.train.state import make_optimizer
+
+            # steps_per_epoch only shapes the schedule's VALUES; the state
+            # STRUCTURE (ScaleByScheduleState vs ScaleState) depends on
+            # whether a schedule exists at all, so any positive int works.
+            spe = 1 if t_cfg.cosine_decay else None
+            tx = make_optimizer(t_cfg, steps_per_epoch=spe)
+            state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    except Exception:
+        pass  # fall back to the caller's template
     st, _, _ = restore_checkpoint(directory, state, epoch)
     return st.params, st.batch_stats
