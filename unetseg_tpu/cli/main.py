@@ -233,13 +233,35 @@ def cmd_track(args) -> int:
         max_children=args.max_children,
     )
     tracker = Tracker(tcfg, faithful_active_map=args.faithful)
+    masks = []
     for f in files:
-        tracker.update(read_image(f), frame_number(f))
+        m = read_image(f)
+        tracker.update(m, frame_number(f))
+        if args.ctc_dir:
+            masks.append(m)
     tracks = tracker.tracks()
     out = args.output or os.path.join(
         os.path.dirname(args.instance_dir.rstrip("/")), "res_track.txt"
     )
     write_res_track(out, tracks, parent_none=-1 if args.reference_parent else 0)
+    if args.ctc_dir:
+        # CTC-conformant result dir: mask{NNN}.tif relabeled by TRACK id +
+        # res_track.txt (the labeling the official measures require)
+        from unetseg_tpu.data.io import write_mask_u16
+        from unetseg_tpu.track.ctc_io import relabel_by_track
+
+        os.makedirs(args.ctc_dir, exist_ok=True)
+        for f, m, assignment in zip(files, masks, tracker.assignments()):
+            num = frame_number(f)
+            write_mask_u16(
+                os.path.join(args.ctc_dir, f"mask{num:03d}.tif"),
+                relabel_by_track(m, assignment),
+            )
+        write_res_track(
+            os.path.join(args.ctc_dir, "res_track.txt"), tracks,
+            parent_none=-1 if args.reference_parent else 0,
+        )
+        print(f"CTC-format results -> {args.ctc_dir}")
     print(f"tracked {len(files)} frames -> {len(tracks)} tracks -> {out}")
     return 0
 
@@ -483,6 +505,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="replicate the reference's stale active-label map")
     sp.add_argument("--reference-parent", action="store_true",
                     help="write parent -1 like the reference instead of CTC's 0")
+    sp.add_argument("--ctc-dir", default=None,
+                    help="also write a CTC-conformant result dir: maskNNN.tif "
+                         "relabeled by track id + res_track.txt")
     sp.set_defaults(fn=cmd_track)
 
     sp = sub.add_parser("evaluate", help="IoU/Dice against silver truth")

@@ -47,3 +47,19 @@ def read_track_file(path: str) -> List[CellTrack]:
 
 def tracks_by_label(tracks: Sequence[CellTrack]) -> Dict[int, CellTrack]:
     return {t.label: t for t in tracks}
+
+
+def relabel_by_track(mask, assignment: Dict[int, int]):
+    """Rewrite a per-frame instance mask so each object's pixel value is its
+    TRACK id — the labeling CTC requires of result images (TRA/DET match
+    res_track.txt rows against pixel labels). The reference never does this:
+    its m{NNN}.tif keep per-frame component labels, one reason its own
+    evaluation failed (SURVEY.md §2 'Known defects'). `assignment` is the
+    tracker's per-frame {instance label -> track id} map."""
+    import numpy as np
+
+    mask = np.asarray(mask)
+    out = np.zeros_like(mask, dtype=np.uint16)
+    for inst_label, track_id in assignment.items():
+        out[mask == inst_label] = track_id
+    return out
