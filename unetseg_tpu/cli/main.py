@@ -210,6 +210,7 @@ def cmd_predict(args) -> int:
         tiled=args.tiled,
         resize_output_to=args.resize_output,
         progress=lambda i, n: print(f"  {i}/{n} frames", end="\r", flush=True),
+        watershed=args.watershed,
     )
     print(f"\nwrote {len(written)} files -> {masks_dir} , {inst_dir}")
     return 0
@@ -234,12 +235,24 @@ def cmd_track(args) -> int:
     )
     tracker = Tracker(tcfg, faithful_active_map=args.faithful)
     masks = []
+    keep_masks = bool(args.ctc_dir) or args.close_gaps > 0
     for f in files:
         m = read_image(f)
         tracker.update(m, frame_number(f))
-        if args.ctc_dir:
+        if keep_masks:
             masks.append(m)
     tracks = tracker.tracks()
+    assignments = tracker.assignments()
+    frame_nums = [frame_number(f) for f in files]
+    if args.close_gaps > 0:
+        from unetseg_tpu.track.postprocess import close_gaps
+
+        n_before = len(tracks)
+        tracks, assignments = close_gaps(
+            masks, frame_nums, tracks, assignments,
+            max_gap=args.close_gaps, iou_threshold=args.gap_iou,
+        )
+        print(f"gap closing: {n_before} -> {len(tracks)} tracks")
     out = args.output or os.path.join(
         os.path.dirname(args.instance_dir.rstrip("/")), "res_track.txt"
     )
@@ -251,7 +264,7 @@ def cmd_track(args) -> int:
         from unetseg_tpu.track.ctc_io import relabel_by_track
 
         os.makedirs(args.ctc_dir, exist_ok=True)
-        for f, m, assignment in zip(files, masks, tracker.assignments()):
+        for f, m, assignment in zip(files, masks, assignments):
             num = frame_number(f)
             write_mask_u16(
                 os.path.join(args.ctc_dir, f"mask{num:03d}.tif"),
@@ -489,6 +502,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tiled", action="store_true")
     sp.add_argument("--normalize", action="store_true",
                     help="apply Normalize(0.5,0.5) like the reference's predict.py")
+    sp.add_argument("--watershed", action="store_true",
+                    help="split touching cells via distance-transform watershed")
     sp.add_argument("--resize-output", dest="resize_output", type=int, default=None,
                     help="nearest-resize outputs (e.g. 512 to match GT size)")
     sp.add_argument("--classes", type=int, default=None)
@@ -508,6 +523,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ctc-dir", default=None,
                     help="also write a CTC-conformant result dir: maskNNN.tif "
                          "relabeled by track id + res_track.txt")
+    sp.add_argument("--close-gaps", type=int, default=0, metavar="N",
+                    help="link tracks across gaps of up to N frames (tracklet stitching)")
+    sp.add_argument("--gap-iou", type=float, default=0.2)
     sp.set_defaults(fn=cmd_track)
 
     sp = sub.add_parser("evaluate", help="IoU/Dice against silver truth")

@@ -140,6 +140,7 @@ class Predictor:
         tiled: bool = False,
         resize_output_to: Optional[int] = None,
         progress: Optional[Callable[[int, int], None]] = None,
+        watershed: bool = False,
     ) -> List[str]:
         """Predict every t*.tif frame -> mask{NNN}.tif + m{NNN}.tif
         (reference: scripts/predict.py:57-116). With `tiled=True` frames keep
@@ -177,7 +178,14 @@ class Predictor:
                             (resize_output_to, resize_output_to), Image.NEAREST
                         )
                     ) // 255
-                inst = get_instance_masks(b, min_size=self.cfg.min_cell_size)
+                if watershed:
+                    from unetseg_tpu.post.watershed import get_instance_masks_watershed
+
+                    inst = get_instance_masks_watershed(
+                        b, min_size=self.cfg.min_cell_size
+                    )
+                else:
+                    inst = get_instance_masks(b, min_size=self.cfg.min_cell_size)
                 mask_path = os.path.join(output_masks_dir, f"mask{num:03d}.tif")
                 inst_path = os.path.join(output_instance_dir, f"m{num:03d}.tif")
                 write_mask_u8(mask_path, b)

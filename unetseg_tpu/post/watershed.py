@@ -1,0 +1,154 @@
+"""Watershed instance splitting.
+
+Plain connected components merge touching cells (the measured NS=453
+splitting errors on seq 01); this splits each foreground component at the
+ridges of its distance transform: distance-peak markers per component, then
+marker-based watershed on the negated distance (native C++ priority-flood,
+with a pure-Python heapq fallback). The reference has no equivalent — its
+post-processing is CC + small-object removal only (utils/metrics.py:42).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import heapq
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy import ndimage as ndi
+
+from unetseg_tpu.post.cc import _STRUCT8, label_components, relabel_sequential, remove_small
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libwatershed.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        src = os.path.join(_NATIVE_DIR, "watershed.cpp")
+        if (
+            not os.path.exists(_SO_PATH)
+            or os.path.getmtime(_SO_PATH) < os.path.getmtime(src)
+        ):
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.watershed.restype = ctypes.c_int
+        lib.watershed.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ]
+        _lib = lib
+    return _lib
+
+
+def watershed(
+    elevation: np.ndarray,
+    markers: np.ndarray,
+    mask: np.ndarray,
+    connectivity: int = 8,
+    backend: str = "native",
+) -> np.ndarray:
+    """Flood `markers` over `mask` ascending `elevation`; returns uint16
+    labels. Ties resolve FIFO (stable fronts)."""
+    elevation = np.ascontiguousarray(elevation, np.float32)
+    mask8 = np.ascontiguousarray((np.asarray(mask) > 0), np.uint8)
+    labels = np.ascontiguousarray(np.asarray(markers), np.uint16).copy()
+    h, w = elevation.shape
+    if backend == "native":
+        try:
+            lib = _load()
+            lib.watershed(
+                elevation.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                mask8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                h, w, connectivity,
+            )
+            return labels
+        except Exception:
+            pass  # fall through to python
+    return _watershed_py(elevation, mask8, labels, connectivity)
+
+
+def _watershed_py(elevation, mask8, labels, connectivity) -> np.ndarray:
+    h, w = elevation.shape
+    if connectivity == 8:
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)]
+    else:
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    heap = []
+    order = 0
+    ys, xs = np.nonzero((labels > 0) & (mask8 > 0))
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        heapq.heappush(heap, (float(elevation[y, x]), order, y, x))
+        order += 1
+    queued = (labels > 0) & (mask8 > 0)
+    while heap:
+        elev, _, y, x = heapq.heappop(heap)
+        lab = labels[y, x]
+        for dy, dx in nbrs:
+            ny, nx = y + dy, x + dx
+            if not (0 <= ny < h and 0 <= nx < w):
+                continue
+            if not mask8[ny, nx] or labels[ny, nx] or queued[ny, nx]:
+                continue
+            labels[ny, nx] = lab
+            queued[ny, nx] = True
+            heapq.heappush(
+                heap, (max(elev, float(elevation[ny, nx])), order, ny, nx)
+            )
+            order += 1
+    return labels
+
+
+def distance_markers(
+    binary_mask: np.ndarray,
+    marker_frac: float = 0.6,
+    smooth_sigma: float = 2.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(markers, distance): per-component distance peaks.
+
+    For each 8-connected foreground component, markers are the connected
+    regions where the (smoothed) distance transform exceeds `marker_frac` of
+    that component's maximum — one marker for a round cell, several for a
+    merged blob."""
+    binary = np.asarray(binary_mask) > 0
+    dist = ndi.distance_transform_edt(binary).astype(np.float32)
+    if smooth_sigma > 0:
+        dist_s = ndi.gaussian_filter(dist, smooth_sigma)
+    else:
+        dist_s = dist
+    comp, n = label_components(binary)
+    markers = np.zeros(binary.shape, np.uint16)
+    if n == 0:
+        return markers, dist
+    maxima = ndi.maximum(dist_s, labels=comp, index=np.arange(1, n + 1))
+    thresh_map = np.zeros(n + 1, np.float32)
+    thresh_map[1:] = np.asarray(maxima) * marker_frac
+    seed_region = (dist_s >= thresh_map[comp]) & binary
+    markers, _ = ndi.label(seed_region, structure=_STRUCT8)
+    return markers.astype(np.uint16), dist
+
+
+def get_instance_masks_watershed(
+    binary_mask: np.ndarray,
+    min_size: int = 15,
+    marker_frac: float = 0.6,
+    smooth_sigma: float = 2.0,
+    backend: str = "native",
+) -> np.ndarray:
+    """Drop-in alternative to post.cc.get_instance_masks that splits merged
+    cells: distance-peak markers + watershed on -distance."""
+    binary = np.asarray(binary_mask) > 0
+    markers, dist = distance_markers(binary, marker_frac, smooth_sigma)
+    labels = watershed(-dist, markers, binary, backend=backend)
+    labels = remove_small(labels.astype(np.int64), min_size)
+    return relabel_sequential(labels).astype(np.uint16)
