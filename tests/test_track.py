@@ -158,6 +158,26 @@ def test_faithful_active_map_keeps_stale_entries():
     assert len(faithful) == 3
 
 
+def test_division_from_matched_mode():
+    """Improved mode: a matched daughter plus an unmatched sibling at the
+    division threshold is reinterpreted as a division (off by default)."""
+    parent = frame((1, 20, 40, 20, 40))            # 400 px
+    # daughter1 wins the 1-1 match (IoU 240/400 = 0.6 > 0.3 but <= cap),
+    # daughter2 overlaps at 160/400 = 0.4 >= 0.1
+    daughters = frame((1, 20, 32, 20, 40), (2, 32, 40, 20, 40))
+    ref = track_sequence_masks([parent, daughters])
+    assert all(t.parent_label == 0 for t in ref)   # reference semantics miss it
+    got = track_sequence_masks(
+        [parent, daughters],
+        cfg=TrackConfig(division_from_matched=True, matched_division_iou_cap=0.6),
+    )
+    kids = [t for t in got if t.parent_label > 0]
+    assert len(kids) == 2
+    assert {t.start_frame for t in kids} == {1}
+    parent_track = [t for t in got if t.label == kids[0].parent_label][0]
+    assert parent_track.end_frame == 0
+
+
 def test_division_threshold_config():
     cfg = TrackConfig(iou_threshold_division=0.9)  # impossible to divide
     parent = frame((1, 20, 40, 20, 40))

@@ -105,6 +105,15 @@ class TrackConfig:
     iou_threshold_track: float = 0.3
     iou_threshold_division: float = 0.1
     max_children: int = 2
+    # Improved division detection (off = reference semantics): a dividing
+    # cell's larger daughter usually wins the 1-to-1 match (IoU ~0.3-0.5),
+    # so the reference's unmatched-parent rule misses most divisions. With
+    # this on, a matched pair whose parent also overlaps an unmatched
+    # object at the division threshold — and whose match IoU is at most
+    # `matched_division_iou_cap` (a true division roughly halves IoU) — is
+    # reinterpreted as a division.
+    division_from_matched: bool = False
+    matched_division_iou_cap: float = 0.6
 
 
 @dataclass(frozen=True)

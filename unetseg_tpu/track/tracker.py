@@ -103,6 +103,7 @@ class Tracker:
         # to the end of the frame, which uses only prev-frame labels.
         interleave = self.faithful
 
+        matched_pairs = []  # (i, j, track id) accepted 1-to-1 matches
         if n_prev > 0 and n_curr > 0:
             cost = np.where(iou > 0, 1.0 - iou, _NO_OVERLAP_COST)
             rows, cols = linear_sum_assignment(cost)
@@ -118,6 +119,27 @@ class Tracker:
                             st.active[curr_labels[j]] = tid
                         matched_prev.add(i)
                         matched_curr.add(j)
+                        matched_pairs.append((i, j, tid))
+
+        # ---------------------------------- division from a matched parent
+        # (improvement over the reference, see TrackConfig.division_from_matched)
+        if cfg.division_from_matched and not self.faithful:
+            for i, j, tid in matched_pairs:
+                if iou[i, j] > cfg.matched_division_iou_cap:
+                    continue
+                extras = [
+                    j2 for j2 in range(n_curr)
+                    if j2 not in matched_curr
+                    and iou[i, j2] >= cfg.iou_threshold_division
+                ]
+                if len(extras) == cfg.max_children - 1:
+                    # reinterpret the 1-to-1 match as a division
+                    st.tracks[tid].end_frame = frame_num - 1
+                    del assignment[curr_labels[j]]
+                    for jc in [j] + extras:
+                        child = self._new_track(frame_num, parent=tid)
+                        assignment[curr_labels[jc]] = child
+                        matched_curr.add(jc)
 
         # ------------------------------------------------ division detection
         unmatched_prev = [i for i in range(n_prev) if i not in matched_prev]
