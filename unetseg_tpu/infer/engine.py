@@ -70,6 +70,9 @@ class Predictor:
     packed: bool = False
 
     def __post_init__(self):
+        # Variables are passed as jit ARGUMENTS, never closed over: closure
+        # capture would inline ~62 MB of weights as compile-time constants
+        # (slow remote compiles; once crashed the TPU tunnel backend).
         if self.fold and self.batch_stats is not None:
             from unetseg_tpu.infer.folding import fold_batchnorm
 
@@ -78,20 +81,24 @@ class Predictor:
                 {"params": self.params, "batch_stats": self.batch_stats},
                 use_packed=self.packed,
             )
-            apply_fn = lambda x: fmodel.apply(fvars, x)
+            self._variables = fvars
+            apply_fn = lambda v, x: fmodel.apply(v, x)
         else:
-            variables = {"params": self.params, "batch_stats": self.batch_stats}
-            apply_fn = lambda x: self.model.apply(variables, x, train=False)
+            self._variables = {
+                "params": self.params, "batch_stats": self.batch_stats
+            }
+            apply_fn = lambda v, x: self.model.apply(v, x, train=False)
 
         @jax.jit
-        def _probs(images: jnp.ndarray) -> jnp.ndarray:
+        def _probs(variables, images: jnp.ndarray) -> jnp.ndarray:
             x = images
             if self.cfg.normalize:
                 x = (x - self.cfg.normalize_mean) / self.cfg.normalize_std
-            logits = apply_fn(x[..., None])
+            logits = apply_fn(variables, x[..., None])
             return binary_probs_from_logits(logits)
 
-        self._probs_fn = _probs
+        self._probs_raw = _probs  # (variables, images) -> probs
+        self._probs_fn = lambda images: _probs(self._variables, images)
         self._tiled_cache = {}
 
     # ------------------------------------------------------------- forward
@@ -122,10 +129,11 @@ class Predictor:
         if fn is None:
             grid = plan_tiles(h, w, t_in)
             fn = make_tiled_fn(
-                self._probs_fn, grid, tile_batch=t_batch, mesh=self.mesh
+                self._probs_raw, grid, tile_batch=t_batch, mesh=self.mesh,
+                with_context=True,
             )
             self._tiled_cache[key] = fn
-        return np.asarray(fn(jnp.asarray(image, jnp.float32)))
+        return np.asarray(fn(self._variables, jnp.asarray(image, jnp.float32)))
 
     def predict_image_tiled(self, image: np.ndarray) -> np.ndarray:
         return (self.probs_tiled(image) > self.cfg.threshold).astype(np.uint8)

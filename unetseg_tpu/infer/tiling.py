@@ -115,23 +115,29 @@ def pad_tile_count(n: int, multiple: int) -> int:
 
 
 def make_tiled_fn(
-    tile_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    tile_fn: Callable,
     grid: TileGrid,
     tile_batch: Optional[int] = None,
     mesh: Optional[MeshSpec] = None,
-) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    with_context: bool = False,
+) -> Callable:
     """One jit-compiled program for the whole tiled run: mirror-pad ->
     extract -> per-chunk forward -> stitch. Eliminates per-op dispatch and
     lets XLA overlap tile extraction with compute. With a mesh, the tile axis
     carries a sharding constraint over (data, tile) so GSPMD splits chunks
-    across devices and gathers the stitch over ICI."""
+    across devices and gathers the stitch over ICI.
+
+    With `with_context=True`, `tile_fn(ctx, chunk)` and the returned function
+    is `fn(ctx, image)` — use this to pass model variables as traced
+    arguments instead of closure constants (closure capture inlines the
+    weights into the compiled program)."""
     n = grid.num_tiles
     batch = tile_batch or n
     if mesh is not None:
         batch = pad_tile_count(batch, mesh.num_data * mesh.num_tile)
     n_padded = pad_tile_count(n, batch)
 
-    def run(image: jnp.ndarray) -> jnp.ndarray:
+    def run_tiles(call, image: jnp.ndarray) -> jnp.ndarray:
         padded = mirror_pad(image, grid)
         tiles = extract_tiles(padded, grid)
         if n_padded > n:
@@ -145,11 +151,13 @@ def make_tiled_fn(
                 chunk = jax.lax.with_sharding_constraint(
                     chunk, mesh.tile_sharding()
                 )
-            outs.append(tile_fn(chunk))
+            outs.append(call(chunk))
         outputs = jnp.concatenate(outs, axis=0)[:n]
         return stitch(outputs, grid)
 
-    return jax.jit(run)
+    if with_context:
+        return jax.jit(lambda ctx, image: run_tiles(lambda c: tile_fn(ctx, c), image))
+    return jax.jit(lambda image: run_tiles(tile_fn, image))
 
 
 def tiled_apply(

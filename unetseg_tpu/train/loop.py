@@ -160,7 +160,8 @@ def train(
                 done = True
                 break
 
-        epoch_loss = float(np.sum([float(x) for x in pending_losses]))
+        # one stacked transfer instead of n_steps scalar fetches
+        epoch_loss = float(np.sum(np.asarray(jax.device_get(pending_losses))))
         avg_train = epoch_loss / max(n_steps, 1)
 
         # -------------------------------------------------------------- val
