@@ -21,8 +21,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +37,7 @@ from unetseg_tpu.data.io import (
     write_mask_u16,
     write_mask_u8,
 )
-from unetseg_tpu.infer.tiling import TileGrid, make_tiled_fn, plan_tiles, tiled_apply
+from unetseg_tpu.infer.tiling import make_tiled_fn, plan_tiles
 from unetseg_tpu.models.unet import UNet
 from unetseg_tpu.ops.losses import binary_probs_from_logits
 from unetseg_tpu.post.cc import get_instance_masks

@@ -19,7 +19,7 @@ the nearest / second-nearest cell.
 from __future__ import annotations
 
 from functools import partial
-from typing import Literal, Optional
+from typing import Literal
 
 import numpy as np
 import jax

@@ -12,8 +12,7 @@ is the right axis split and the 'model' axis stays size 1 but plumbed
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import numpy as np

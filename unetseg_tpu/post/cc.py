@@ -11,7 +11,7 @@ everything around it is vectorized. An optional `relabel` compacts ids.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy import ndimage as ndi

@@ -12,8 +12,7 @@ to the valid 0 convention; `parent_none=-1` reproduces the reference's files.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 from unetseg_tpu.track.tracker import CellTrack
 

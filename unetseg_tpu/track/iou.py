@@ -10,7 +10,7 @@ the resulting IoU matrix is numerically identical.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

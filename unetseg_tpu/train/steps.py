@@ -13,8 +13,7 @@ plain `.mean()` over real items (reference: utils/losses.py:57).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

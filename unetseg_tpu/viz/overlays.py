@@ -12,7 +12,7 @@ Tracker returns that mapping, so overlays can show stable track ids.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
