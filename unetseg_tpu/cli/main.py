@@ -292,6 +292,7 @@ def cmd_evaluate(args) -> int:
     pred = _make_predictor(args, cfg, cfg.infer)
     ious: List[float] = []
     dices: List[float] = []
+    rands: List[float] = []
     for seq in sequences:
         data = HeLaArrays.load(
             dataclasses.replace(cfg.data, data_root=data_root, sequence=seq),
@@ -313,11 +314,21 @@ def cmd_evaluate(args) -> int:
             for k in range(len(chunk)):
                 ious.append(iou_fn(binary[k], gt[k]))
                 dices.append(dice_fn(binary[k], gt[k]))
-    print(json.dumps({
+                if args.rand:
+                    from unetseg_tpu.metrics.rand import rand_index_and_error
+                    from unetseg_tpu.post.cc import get_instance_masks
+
+                    gt_inst = data.masks[chunk][k][a0:a1, a0:a1]
+                    pred_inst = get_instance_masks(binary[k], min_size=cfg.infer.min_cell_size)
+                    rands.append(rand_index_and_error(gt_inst, pred_inst)[0])
+    out = {
         "n_samples": len(ious),
         "mean_iou": float(np.mean(ious)) if ious else 0.0,
         "mean_dice": float(np.mean(dices)) if dices else 0.0,
-    }))
+    }
+    if args.rand:
+        out["mean_rand_index"] = float(np.mean(rands)) if rands else 0.0
+    print(json.dumps(out))
     return 0
 
 
@@ -535,6 +546,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--data-root", default=None)
     sp.add_argument("--sequences", nargs="*", default=None)
     sp.add_argument("--val-only", action="store_true")
+    sp.add_argument("--rand", action="store_true",
+                    help="also report the Rand index of CC instances vs GT instances")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--batch-size", dest="batch_size", type=int, default=None)
     sp.add_argument("--epoch", type=int, default=None)
