@@ -121,6 +121,8 @@ def cmd_train(args) -> int:
         data_kw["sequence"] = args.sequence
     if args.no_augment:
         data_kw["augment"] = False
+    if args.standardize:
+        data_kw["standardize"] = True
     train_kw = {}
     for flag, name in [
         ("epochs", "num_epochs"), ("batch_size", "batch_size"),
@@ -195,6 +197,7 @@ def cmd_predict(args) -> int:
         threshold=args.threshold,
         min_cell_size=args.min_cell_size,
         normalize=args.normalize,
+        standardize=args.standardize,
     )
     pred = _make_predictor(args, cfg, icfg)
     masks_dir, inst_dir = prediction_dirs(data_root, sequence)
@@ -475,6 +478,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--resume", action="store_true")
     sp.add_argument("--optimizer", choices=["sgd", "adam", "adamw"], default=None)
     sp.add_argument("--cosine", action="store_true", help="cosine lr decay")
+    sp.add_argument("--standardize", action="store_true",
+                    help="per-frame z-score input standardization")
     sp.add_argument("--max-steps", type=int, default=None)
     sp.add_argument("--classes", type=int, default=None)
     sp.add_argument("--bilinear", action="store_true")
@@ -512,6 +517,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tiled", action="store_true")
     sp.add_argument("--normalize", action="store_true",
                     help="apply Normalize(0.5,0.5) like the reference's predict.py")
+    sp.add_argument("--standardize", action="store_true",
+                    help="per-frame z-score (must match training)")
     sp.add_argument("--watershed", action="store_true",
                     help="split touching cells via distance-transform watershed")
     sp.add_argument("--resize-output", dest="resize_output", type=int, default=None,

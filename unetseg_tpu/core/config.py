@@ -49,6 +49,9 @@ class DataConfig:
     w0: float = 10.0
     sigma_w: float = 5.0
     image_size: int = 512            # training / predict resize target
+    # Per-frame z-score standardization (absent from the reference, whose
+    # two sequences differ in illumination; see docs/ROADMAP.md item 1).
+    standardize: bool = False
 
 
 @dataclass(frozen=True)
@@ -93,6 +96,9 @@ class InferConfig:
     # does not normalize). We default to the training distribution;
     # normalize=True reproduces predict.py's behavior.
     normalize: bool = False
+    # Per-frame z-score at inference; must match DataConfig.standardize used
+    # in training.
+    standardize: bool = False
     min_cell_size: int = 15          # scripts/predict.py:47
     tile_input: int = 512            # overlap-tile input tile size
     tile_batch: int = 8              # tiles per device batch

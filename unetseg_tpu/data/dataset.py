@@ -78,7 +78,10 @@ class HeLaArrays:
             )
         imgs, masks, wmaps = [], [], []
         for t in triplets:
-            imgs.append(_load_image_01(t.image, image_size))
+            img = _load_image_01(t.image, image_size)
+            if cfg.standardize:
+                img = (img - img.mean()) / max(float(img.std()), 1e-6)
+            imgs.append(img)
             m = read_image(t.mask).astype(np.int32)
             masks.append(m)
             if t.weight_map is not None:

@@ -91,7 +91,11 @@ class Predictor:
         @jax.jit
         def _probs(variables, images: jnp.ndarray) -> jnp.ndarray:
             x = images
-            if self.cfg.normalize:
+            if self.cfg.standardize:
+                mu = jnp.mean(x, axis=(-2, -1), keepdims=True)
+                sd = jnp.maximum(jnp.std(x, axis=(-2, -1), keepdims=True), 1e-6)
+                x = (x - mu) / sd
+            elif self.cfg.normalize:
                 x = (x - self.cfg.normalize_mean) / self.cfg.normalize_std
             logits = apply_fn(variables, x[..., None])
             return binary_probs_from_logits(logits)
