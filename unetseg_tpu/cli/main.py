@@ -213,6 +213,7 @@ def cmd_predict(args) -> int:
         resize_output_to=args.resize_output,
         progress=lambda i, n: print(f"  {i}/{n} frames", end="\r", flush=True),
         watershed=args.watershed,
+        marker_frac=args.marker_frac,
     )
     print(f"\nwrote {len(written)} files -> {masks_dir} , {inst_dir}")
     return 0
@@ -521,6 +522,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-frame z-score (must match training)")
     sp.add_argument("--watershed", action="store_true",
                     help="split touching cells via distance-transform watershed")
+    sp.add_argument("--marker-frac", dest="marker_frac", type=float, default=0.5,
+                    help="watershed marker threshold as a fraction of each "
+                         "component's distance maximum")
     sp.add_argument("--resize-output", dest="resize_output", type=int, default=None,
                     help="nearest-resize outputs (e.g. 512 to match GT size)")
     sp.add_argument("--classes", type=int, default=None)

@@ -152,6 +152,7 @@ class Predictor:
         resize_output_to: Optional[int] = None,
         progress: Optional[Callable[[int, int], None]] = None,
         watershed: bool = False,
+        marker_frac: float = 0.5,
     ) -> List[str]:
         """Predict every t*.tif frame -> mask{NNN}.tif + m{NNN}.tif
         (reference: scripts/predict.py:57-116). With `tiled=True` frames keep
@@ -193,7 +194,8 @@ class Predictor:
                     from unetseg_tpu.post.watershed import get_instance_masks_watershed
 
                     inst = get_instance_masks_watershed(
-                        b, min_size=self.cfg.min_cell_size
+                        b, min_size=self.cfg.min_cell_size,
+                        marker_frac=marker_frac,
                     )
                 else:
                     inst = get_instance_masks(b, min_size=self.cfg.min_cell_size)
