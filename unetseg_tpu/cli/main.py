@@ -46,7 +46,9 @@ def _load_config(args) -> Config:
 
 def _model_cfg(cfg: Config, args) -> ModelConfig:
     kw = {}
-    if getattr(args, "classes", None) is not None:
+    if getattr(args, "three_class", False):
+        kw["num_classes"] = 3
+    elif getattr(args, "classes", None) is not None:
         kw["num_classes"] = args.classes
     if getattr(args, "dtype", None):
         kw["compute_dtype"] = args.dtype
@@ -520,6 +522,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="apply Normalize(0.5,0.5) like the reference's predict.py")
     sp.add_argument("--standardize", action="store_true",
                     help="per-frame z-score (must match training)")
+    sp.add_argument("--three-class", dest="three_class", action="store_true",
+                    help="model was trained with --three-class")
     sp.add_argument("--watershed", action="store_true",
                     help="split touching cells via distance-transform watershed")
     sp.add_argument("--marker-frac", dest="marker_frac", type=float, default=0.5,

@@ -98,6 +98,10 @@ class Predictor:
             elif self.cfg.normalize:
                 x = (x - self.cfg.normalize_mean) / self.cfg.normalize_std
             logits = apply_fn(variables, x[..., None])
+            if logits.shape[-1] == 3:
+                # 3-class (bg / interior / border) head: return all probs;
+                # the sequence path splits instances from interior markers
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return binary_probs_from_logits(logits)
 
         self._probs_raw = _probs  # (variables, images) -> probs
@@ -180,7 +184,13 @@ class Predictor:
                 pad = bs - len(chunk)
                 batch = np.concatenate([images, images[:1].repeat(pad, 0)]) if pad else images
                 probs = np.asarray(self.probs(batch))[: len(chunk)]
-            binary = (probs > self.cfg.threshold).astype(np.uint8)
+            if probs.ndim == 4:  # three-class head
+                fg_prob = probs[..., 1] + probs[..., 2]
+                binary = (fg_prob > self.cfg.threshold).astype(np.uint8)
+                interior = (np.argmax(probs, -1) == 1).astype(np.uint8)
+            else:
+                binary = (probs > self.cfg.threshold).astype(np.uint8)
+                interior = None
             for k, f in enumerate(chunk):
                 num = frame_number(f)
                 b = binary[k]
@@ -190,7 +200,13 @@ class Predictor:
                             (resize_output_to, resize_output_to), Image.NEAREST
                         )
                     ) // 255
-                if watershed:
+                if interior is not None:
+                    from unetseg_tpu.post.watershed import expand_markers
+
+                    inst = expand_markers(
+                        b, interior[k], min_size=self.cfg.min_cell_size
+                    )
+                elif watershed:
                     from unetseg_tpu.post.watershed import get_instance_masks_watershed
 
                     inst = get_instance_masks_watershed(

@@ -152,3 +152,21 @@ def get_instance_masks_watershed(
     labels = watershed(-dist, markers, binary, backend=backend)
     labels = remove_small(labels.astype(np.int64), min_size)
     return relabel_sequential(labels).astype(np.uint16)
+
+
+def expand_markers(
+    binary_mask: np.ndarray,
+    interior: np.ndarray,
+    min_size: int = 15,
+    backend: str = "native",
+) -> np.ndarray:
+    """Instances from a 3-class prediction: connected interior regions are
+    the markers, expanded over the full foreground by watershed on the
+    negated distance transform (see train/steps.three_class_targets)."""
+    fg = np.asarray(binary_mask) > 0
+    markers, _ = label_components(np.asarray(interior) > 0)
+    markers = np.where(fg, markers, 0)
+    dist = ndi.distance_transform_edt(fg).astype(np.float32)
+    labels = watershed(-dist, markers, fg, backend=backend)
+    labels = remove_small(labels.astype(np.int64), min_size)
+    return relabel_sequential(labels).astype(np.uint16)

@@ -89,14 +89,16 @@ def train(
     if mesh is not None:
         state = jax.device_put(state, mesh.replicated())
 
+    three_class = m_cfg.num_classes == 3
     train_step = make_train_step(
         model,
         augment=d_cfg.augment,
         elastic_alpha=d_cfg.elastic_alpha,
         elastic_sigma=d_cfg.elastic_sigma,
         donate=t_cfg.donate_state,
+        three_class=three_class,
     )
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, three_class=three_class)
 
     from unetseg_tpu.models.shapes import output_size
 

@@ -51,6 +51,30 @@ def _masked_mean_loss(
     return jnp.sum(ce * item_mask) / n_pix
 
 
+def three_class_targets(masks: jnp.ndarray, halo: int = 2) -> jnp.ndarray:
+    """Instance labels -> {0: background, 1: interior, 2: border} targets.
+
+    A foreground pixel is *interior* iff its (2*halo+1)^2 window contains only
+    its own label — computed as two reduce_windows (min == max) on the label
+    map, so both cell-cell contacts and outer rims become the border class.
+    The classic 3-class formulation for separating touching objects; an
+    improvement the reference (binary-only) lacks."""
+    m = masks.astype(jnp.int32)
+    k = 2 * halo + 1
+    big = 2**30
+
+    def pool(x, init, op):
+        return jax.lax.reduce_window(
+            x, init, op, (1, k, k), (1, 1, 1), ((0, 0), (halo, halo), (halo, halo))
+        )
+
+    mn = pool(m, big, jax.lax.min)
+    mx = pool(m, -big, jax.lax.max)
+    fg = m > 0
+    interior = fg & (mn == mx)
+    return jnp.where(interior, 1, jnp.where(fg, 2, 0)).astype(jnp.int32)
+
+
 def make_train_step(
     model: UNet,
     augment: bool = True,
@@ -58,6 +82,7 @@ def make_train_step(
     elastic_sigma: float = 20.0,
     donate: bool = True,
     use_pallas_loss: bool = False,
+    three_class: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -73,7 +98,10 @@ def make_train_step(
             images, masks = elastic_deform_batch(
                 key, images, masks, alpha=elastic_alpha, sigma=elastic_sigma
             )
-        targets = (masks > 0).astype(jnp.int32)
+        if three_class:
+            targets = three_class_targets(masks)
+        else:
+            targets = (masks > 0).astype(jnp.int32)
 
         def loss_fn(params):
             logits, mutated = state.apply_fn(
@@ -99,12 +127,16 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_args)
 
 
-def make_eval_step(model: UNet) -> Callable:
+def make_eval_step(model: UNet, three_class: bool = False) -> Callable:
     """Validation step: *unweighted* CE on cropped targets, eval-mode BN
-    (reference: scripts/train.py:141-163)."""
+    (reference: scripts/train.py:141-163). val_iou is always the binary
+    foreground IoU (classes {1,2} count as foreground in 3-class mode)."""
 
     def step(state: TrainState, images, masks, valid):
-        targets = (masks > 0).astype(jnp.int32)
+        if three_class:
+            targets = three_class_targets(masks)
+        else:
+            targets = (masks > 0).astype(jnp.int32)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             images[..., None],
@@ -119,8 +151,10 @@ def make_eval_step(model: UNet) -> Callable:
         acc = jnp.sum((pred == t) & item) / jnp.maximum(
             jnp.sum(valid) * th * tw, 1
         )
-        inter = jnp.sum((pred == 1) & (t == 1) & item)
-        union = jnp.sum(((pred == 1) | (t == 1)) & item)
+        pred_fg = pred >= 1
+        t_fg = t >= 1
+        inter = jnp.sum(pred_fg & t_fg & item)
+        union = jnp.sum((pred_fg | t_fg) & item)
         iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
         return {"val_loss": loss, "val_acc": acc, "val_iou": iou}
 
