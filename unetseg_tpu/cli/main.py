@@ -483,6 +483,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--cosine", action="store_true", help="cosine lr decay")
     sp.add_argument("--standardize", action="store_true",
                     help="per-frame z-score input standardization")
+    sp.add_argument("--three-class", dest="three_class", action="store_true",
+                    help="train background/interior/border (touching-cell separation)")
     sp.add_argument("--max-steps", type=int, default=None)
     sp.add_argument("--classes", type=int, default=None)
     sp.add_argument("--bilinear", action="store_true")
