@@ -80,6 +80,8 @@ class TrainConfig:
     donate_state: bool = True        # donate train-state buffers to the step
     profile_dir: Optional[str] = None  # jax.profiler trace of early steps
     profile_steps: int = 5           # how many steps the trace covers
+    border_boost: float = 5.0        # 3-class mode: loss multiplier on the
+                                     # (rare) border class
 
 
 @dataclass(frozen=True)

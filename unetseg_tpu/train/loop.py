@@ -97,6 +97,7 @@ def train(
         elastic_sigma=d_cfg.elastic_sigma,
         donate=t_cfg.donate_state,
         three_class=three_class,
+        border_boost=t_cfg.border_boost,
     )
     eval_step = make_eval_step(model, three_class=three_class)
 

@@ -83,6 +83,7 @@ def make_train_step(
     donate: bool = True,
     use_pallas_loss: bool = False,
     three_class: bool = False,
+    border_boost: float = 1.0,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -100,6 +101,10 @@ def make_train_step(
             )
         if three_class:
             targets = three_class_targets(masks)
+            if border_boost != 1.0:
+                # the border class is rare; boost its pixels in the weight
+                # map so the loss actually prices separation errors
+                weights = jnp.where(targets == 2, weights * border_boost, weights)
         else:
             targets = (masks > 0).astype(jnp.int32)
 
