@@ -92,3 +92,28 @@ def test_predict_sequence_three_class(tmp_path):
     )
     m = np.array(Image.open(tmp_path / "R" / "mask000.tif"))
     assert m.shape == (4, 4)
+
+
+def test_predict_sequence_three_class_resize_output(tmp_path):
+    """Regression: three-class + resize_output_to crashed because the interior
+    marker map stayed at net-output size while the mask was resized."""
+    from PIL import Image
+
+    model = UNet(cfg=TINY3)
+    v = init_unet(model, jax.random.key(0), input_size=SIZE)
+    pred = Predictor(
+        model=model, params=v["params"], batch_stats=v["batch_stats"],
+        cfg=InferConfig(image_size=SIZE, tile_input=SIZE, min_cell_size=1),
+    )
+    seq = tmp_path / "01"
+    seq.mkdir()
+    Image.fromarray(
+        (np.random.RandomState(1).rand(SIZE, SIZE) * 255).astype(np.uint8)
+    ).save(seq / "t000.tif")
+    pred.predict_sequence(
+        str(seq), str(tmp_path / "R"), str(tmp_path / "RI"),
+        resize_output_to=SIZE,
+    )
+    m = np.array(Image.open(tmp_path / "R" / "mask000.tif"))
+    inst = np.array(Image.open(tmp_path / "RI" / "m000.tif"))
+    assert m.shape == (SIZE, SIZE) and inst.shape == (SIZE, SIZE)

@@ -104,3 +104,25 @@ def test_max_steps_cutoff(tiny_tree, tmp_path):
     cfg = _cfg(tiny_tree, tmp_path, epochs=5)
     result = train(cfg, max_steps=3)
     assert int(result.state.step) == 3
+
+
+def test_best_inside_cooldown_is_flushed(tiny_tree, tmp_path):
+    """A new best val loss during the checkpoint cooldown must still be
+    saved once the interval elapses or the loop ends (ADVICE r1)."""
+    cfg = _cfg(tiny_tree, tmp_path, epochs=4)
+    cfg = Config(
+        model=cfg.model,
+        data=cfg.data,
+        train=TrainConfig(
+            **{**cfg.train.__dict__, "checkpoint_min_interval": 3}
+        ),
+    )
+    result = train(cfg)
+    # the best epoch is checkpointed even if it fell inside the cooldown
+    saved = ckpt.latest_epoch(cfg.train.checkpoint_dir)
+    assert saved == result.best_epoch
+    template = create_train_state(
+        jax.random.key(0), model_cfg=TINY_MODEL, train_cfg=cfg.train, input_size=SIZE
+    )
+    restored, epoch, _ = ckpt.restore_checkpoint(cfg.train.checkpoint_dir, template)
+    assert epoch == result.best_epoch

@@ -100,6 +100,21 @@ def test_pack_labels():
     assert (labs[3:] == -1).all()
 
 
+def test_pack_labels_buckets_crowded_frames():
+    """Realistic HeLa frames carry 30-70 instances; the label axis must round
+    up to the next static bucket instead of raising at a hard cap of 32."""
+    m = np.zeros((40, 40), np.uint16)
+    for lab in range(1, 51):  # 50 instances
+        r, c = divmod(lab - 1, 10)
+        m[4 * r : 4 * r + 3, 4 * c : 4 * c + 3] = lab
+    labs = pack_labels(m)
+    assert labs.shape == (64,)
+    assert (labs[:50] == np.arange(1, 51)).all()
+    assert (labs[50:] == -1).all()
+    with np.testing.assert_raises(ValueError):
+        pack_labels(m, max_instances=32)
+
+
 def test_weight_map_empty_mask():
     m = np.zeros((16, 16), np.uint16)
     w = weight_map_np(m, mode="reference")

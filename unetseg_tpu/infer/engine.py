@@ -43,6 +43,13 @@ from unetseg_tpu.ops.losses import binary_probs_from_logits
 from unetseg_tpu.post.cc import get_instance_masks
 
 
+def _resize_nearest_binary(mask: np.ndarray, size: int) -> np.ndarray:
+    """Nearest-neighbor resize of a {0,1} uint8 mask to (size, size)."""
+    return np.asarray(
+        Image.fromarray(mask * 255).resize((size, size), Image.NEAREST)
+    ) // 255
+
+
 def load_image_01(path: str, image_size: Optional[int] = None) -> np.ndarray:
     """Grayscale [0,1], optional bilinear resize — torchvision ToTensor +
     Resize semantics (reference: scripts/predict.py:76-77)."""
@@ -194,17 +201,18 @@ class Predictor:
             for k, f in enumerate(chunk):
                 num = frame_number(f)
                 b = binary[k]
+                inter = interior[k] if interior is not None else None
                 if resize_output_to is not None and b.shape[0] != resize_output_to:
-                    b = np.asarray(
-                        Image.fromarray(b * 255).resize(
-                            (resize_output_to, resize_output_to), Image.NEAREST
-                        )
-                    ) // 255
-                if interior is not None:
+                    b = _resize_nearest_binary(b, resize_output_to)
+                    if inter is not None:
+                        # Marker map must track the mask's geometry, else
+                        # expand_markers sees mismatched shapes.
+                        inter = _resize_nearest_binary(inter, resize_output_to)
+                if inter is not None:
                     from unetseg_tpu.post.watershed import expand_markers
 
                     inst = expand_markers(
-                        b, interior[k], min_size=self.cfg.min_cell_size
+                        b, inter, min_size=self.cfg.min_cell_size
                     )
                 elif watershed:
                     from unetseg_tpu.post.watershed import get_instance_masks_watershed

@@ -29,7 +29,11 @@ from unetseg_tpu.ops.edt import edt_sq
 
 Mode = Literal["reference", "paper"]
 
-MAX_INSTANCES = 32  # static instance-axis bound for the jit path
+# Static instance-axis buckets for the jit path: the label count is rounded
+# up to the smallest bucket, so crowded frames (HeLa: often 30-70 instances)
+# compile at most len(BUCKETS) variants instead of failing at a hard cap.
+INSTANCE_BUCKETS = (32, 64, 128, 256)
+MAX_INSTANCES = INSTANCE_BUCKETS[-1]
 
 
 # --------------------------------------------------------------------- host
@@ -96,12 +100,26 @@ def weight_map_np(
 
 
 # ------------------------------------------------------------------- device
-def pack_labels(instance_mask: np.ndarray, max_instances: int = MAX_INSTANCES) -> np.ndarray:
+def pack_labels(
+    instance_mask: np.ndarray, max_instances: int | None = None
+) -> np.ndarray:
     """Unique positive labels padded with -1 to a static length (host-side
-    prep for the jit kernel; the label axis must be static under jit)."""
+    prep for the jit kernel; the label axis must be static under jit).
+
+    With `max_instances=None` the length is the smallest INSTANCE_BUCKETS
+    entry that fits, bounding jit recompiles to a handful of variants."""
     labels = np.unique(np.asarray(instance_mask))
     labels = labels[labels > 0].astype(np.int32)
-    if labels.size > max_instances:
+    if max_instances is None:
+        for b in INSTANCE_BUCKETS:
+            if labels.size <= b:
+                max_instances = b
+                break
+        else:
+            raise ValueError(
+                f"{labels.size} instances > max bucket {INSTANCE_BUCKETS[-1]}"
+            )
+    elif labels.size > max_instances:
         raise ValueError(f"{labels.size} instances > max_instances={max_instances}")
     out = np.full((max_instances,), -1, np.int32)
     out[: labels.size] = labels

@@ -14,6 +14,7 @@ import ctypes
 import heapq
 import os
 import subprocess
+import warnings
 from typing import Optional, Tuple
 
 import numpy as np
@@ -24,6 +25,7 @@ from unetseg_tpu.post.cc import _STRUCT8, label_components, relabel_sequential, 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libwatershed.so")
 _lib: Optional[ctypes.CDLL] = None
+_warned_fallback = False
 
 
 def _load() -> ctypes.CDLL:
@@ -66,15 +68,26 @@ def watershed(
     if backend == "native":
         try:
             lib = _load()
-            lib.watershed(
+            rc = lib.watershed(
                 elevation.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 mask8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 labels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
                 h, w, connectivity,
             )
+            if rc != 0:
+                raise RuntimeError(f"native watershed returned {rc}")
             return labels
-        except Exception:
-            pass  # fall through to python
+        except Exception as e:  # build/load/run failure -> python fallback
+            global _warned_fallback
+            if not _warned_fallback:
+                _warned_fallback = True
+                warnings.warn(
+                    "native watershed unavailable "
+                    f"({type(e).__name__}: {e}); falling back to the pure-"
+                    "Python backend, which is orders of magnitude slower",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return _watershed_py(elevation, mask8, labels, connectivity)
 
 

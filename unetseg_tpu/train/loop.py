@@ -117,6 +117,7 @@ def train(
         else None
     )
     last_saved_epoch = -(10**9)
+    pending_best = None  # (state, epoch, val_loss) awaiting the cooldown
 
     for epoch in range(start_epoch, t_cfg.num_epochs):
         # ------------------------------------------------------------ train
@@ -197,16 +198,25 @@ def train(
         if val_loss < best_val:
             best_val = val_loss
             best_epoch = epoch
+            # Hold the best state until the save cooldown allows a write, so
+            # a best inside the cooldown window is never silently dropped.
+            pending_best = (state, epoch, val_loss)
+        if pending_best is not None and checkpointer is not None:
             due = (
                 epoch - last_saved_epoch >= t_cfg.checkpoint_min_interval
                 or epoch == t_cfg.num_epochs - 1
+                or done
             )
-            if checkpointer is not None and due:
+            if due:
+                b_state, b_epoch, b_loss = pending_best
                 checkpointer.save(
-                    state, epoch, val_loss, extra={"config": cfg.to_dict()}
+                    b_state, b_epoch, b_loss, extra={"config": cfg.to_dict()}
                 )
                 last_saved_epoch = epoch
-                logger.log({"event": "checkpoint", "epoch": epoch, "val_loss": val_loss})
+                pending_best = None
+                logger.log(
+                    {"event": "checkpoint", "epoch": b_epoch, "val_loss": b_loss}
+                )
         if done:
             break
 
