@@ -90,6 +90,46 @@ def test_predict_sequence_resize_output(predictor, tmp_path):
     assert m.shape == (SIZE, SIZE)
 
 
+def test_predict_sequence_device_cc_matches_host(predictor, tmp_path):
+    """--device-cc must produce byte-identical outputs to the host scipy CC
+    path, with and without --resize-output."""
+    seq = tmp_path / "01"
+    seq.mkdir()
+    rs = np.random.RandomState(6)
+    for i in range(3):
+        Image.fromarray((rs.rand(SIZE, SIZE) * 255).astype(np.uint8)).save(
+            seq / f"t{i:03d}.tif"
+        )
+    for resize in (None, SIZE):
+        tag = f"r{resize}"
+        predictor.predict_sequence(
+            str(seq), str(tmp_path / f"H{tag}"), str(tmp_path / f"HI{tag}"),
+            batch_size=2, resize_output_to=resize,
+        )
+        predictor.predict_sequence(
+            str(seq), str(tmp_path / f"D{tag}"), str(tmp_path / f"DI{tag}"),
+            batch_size=2, resize_output_to=resize, device_cc=True,
+        )
+        for i in range(3):
+            mh = read_image(str(tmp_path / f"H{tag}" / f"mask{i:03d}.tif"))
+            md = read_image(str(tmp_path / f"D{tag}" / f"mask{i:03d}.tif"))
+            np.testing.assert_array_equal(mh, md)
+            ih = read_image(str(tmp_path / f"HI{tag}" / f"m{i:03d}.tif"))
+            idv = read_image(str(tmp_path / f"DI{tag}" / f"m{i:03d}.tif"))
+            np.testing.assert_array_equal(ih, idv)
+
+
+def test_predict_sequence_device_cc_rejects_tiled(predictor, tmp_path):
+    seq = tmp_path / "01"
+    seq.mkdir()
+    Image.fromarray(np.zeros((SIZE, SIZE), np.uint8)).save(seq / "t000.tif")
+    with pytest.raises(ValueError):
+        predictor.predict_sequence(
+            str(seq), str(tmp_path / "a"), str(tmp_path / "b"),
+            tiled=True, device_cc=True,
+        )
+
+
 def test_predict_sequence_empty_dir_raises(predictor, tmp_path):
     with pytest.raises(FileNotFoundError):
         predictor.predict_sequence(str(tmp_path), str(tmp_path / "a"), str(tmp_path / "b"))

@@ -216,6 +216,7 @@ def cmd_predict(args) -> int:
         progress=lambda i, n: print(f"  {i}/{n} frames", end="\r", flush=True),
         watershed=args.watershed,
         marker_frac=args.marker_frac,
+        device_cc=args.device_cc,
     )
     print(f"\nwrote {len(written)} files -> {masks_dir} , {inst_dir}")
     return 0
@@ -533,6 +534,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "component's distance maximum")
     sp.add_argument("--resize-output", dest="resize_output", type=int, default=None,
                     help="nearest-resize outputs (e.g. 512 to match GT size)")
+    sp.add_argument("--device-cc", dest="device_cc", action="store_true",
+                    help="run connected components on the accelerator "
+                         "(probs->threshold->CC in one device program)")
     sp.add_argument("--classes", type=int, default=None)
     sp.add_argument("--bilinear", action="store_true")
     sp.set_defaults(fn=cmd_predict)

@@ -114,11 +114,31 @@ class Predictor:
         self._probs_raw = _probs  # (variables, images) -> probs
         self._probs_fn = lambda images: _probs(self._variables, images)
         self._tiled_cache = {}
+        self._labels_fn = None  # lazily-built device-CC program
 
     # ------------------------------------------------------------- forward
     def probs(self, images: np.ndarray) -> jnp.ndarray:
         """(B, H, W) in [0,1] -> (B, h', w') foreground probability."""
         return self._probs_fn(jnp.asarray(images))
+
+    def labels_device(self, images: np.ndarray) -> np.ndarray:
+        """(B, H, W) images -> raw connected-component labels (B, h', w')
+        int32, computed entirely on device (probs -> threshold -> CC, see
+        post/cc_device.py); pair with post.cc_device.compact_labels."""
+        if self._labels_fn is None:
+            from unetseg_tpu.post.cc_device import label_components_device
+
+            probs_raw = self._probs_raw
+            thr = self.cfg.threshold
+
+            @jax.jit
+            def _labels(variables, images: jnp.ndarray) -> jnp.ndarray:
+                p = probs_raw(variables, images)
+                fg = (p[..., 1] + p[..., 2] > thr) if p.ndim == 4 else (p > thr)
+                return jax.vmap(label_components_device)(fg)
+
+            self._labels_fn = _labels
+        return np.asarray(self._labels_fn(self._variables, jnp.asarray(images)))
 
     def predict_image(self, image: np.ndarray) -> np.ndarray:
         """Single (H, W) image -> binary uint8 mask at the net's output size
@@ -164,6 +184,7 @@ class Predictor:
         progress: Optional[Callable[[int, int], None]] = None,
         watershed: bool = False,
         marker_frac: float = 0.5,
+        device_cc: bool = False,
     ) -> List[str]:
         """Predict every t*.tif frame -> mask{NNN}.tif + m{NNN}.tif
         (reference: scripts/predict.py:57-116). With `tiled=True` frames keep
@@ -179,19 +200,34 @@ class Predictor:
         if not frames:
             raise FileNotFoundError(f"no t*.tif frames in {input_dir}")
 
+        if device_cc and (tiled or self.model.cfg.num_classes == 3):
+            raise ValueError(
+                "device_cc applies to the batched binary path only "
+                "(tiled and 3-class predictions post-process on host)"
+            )
         bs = batch_size or self.cfg.tile_batch
         written: List[str] = []
         size = None if tiled else self.cfg.image_size
         for start in range(0, len(frames), bs):
             chunk = frames[start : start + bs]
             images = np.stack([load_image_01(f, size) for f in chunk])
+            raw_labels = None
             if tiled:
                 probs = np.stack([self.probs_tiled(img) for img in images])
             else:
                 pad = bs - len(chunk)
                 batch = np.concatenate([images, images[:1].repeat(pad, 0)]) if pad else images
-                probs = np.asarray(self.probs(batch))[: len(chunk)]
-            if probs.ndim == 4:  # three-class head
+                if device_cc:
+                    # probs -> threshold -> CC stays one device program; only
+                    # the int32 label maps come back (binary = labels > 0)
+                    raw_labels = self.labels_device(batch)[: len(chunk)]
+                    probs = None
+                else:
+                    probs = np.asarray(self.probs(batch))[: len(chunk)]
+            if raw_labels is not None:
+                binary = (raw_labels > 0).astype(np.uint8)
+                interior = None
+            elif probs.ndim == 4:  # three-class head
                 fg_prob = probs[..., 1] + probs[..., 2]
                 binary = (fg_prob > self.cfg.threshold).astype(np.uint8)
                 interior = (np.argmax(probs, -1) == 1).astype(np.uint8)
@@ -202,12 +238,21 @@ class Predictor:
                 num = frame_number(f)
                 b = binary[k]
                 inter = interior[k] if interior is not None else None
+                raw = raw_labels[k] if raw_labels is not None else None
                 if resize_output_to is not None and b.shape[0] != resize_output_to:
                     b = _resize_nearest_binary(b, resize_output_to)
                     if inter is not None:
                         # Marker map must track the mask's geometry, else
                         # expand_markers sees mismatched shapes.
                         inter = _resize_nearest_binary(inter, resize_output_to)
+                    if raw is not None:
+                        # same NEAREST grid as the mask, so labels>0 == b and
+                        # min_size is measured at the saved resolution (like
+                        # the host path, which re-labels after the resize)
+                        raw = np.asarray(
+                            Image.fromarray(raw.astype(np.int32), mode="I")
+                            .resize((resize_output_to, resize_output_to), Image.NEAREST)
+                        )
                 if inter is not None:
                     from unetseg_tpu.post.watershed import expand_markers
 
@@ -220,6 +265,12 @@ class Predictor:
                     inst = get_instance_masks_watershed(
                         b, min_size=self.cfg.min_cell_size,
                         marker_frac=marker_frac,
+                    )
+                elif raw is not None:
+                    from unetseg_tpu.post.cc_device import compact_labels
+
+                    inst = compact_labels(
+                        raw, min_size=self.cfg.min_cell_size, relabel=False
                     )
                 else:
                     inst = get_instance_masks(b, min_size=self.cfg.min_cell_size)

@@ -61,30 +61,32 @@ def get_instance_masks_device(
     compact: bool = True,
 ) -> np.ndarray:
     """Device CC + host-side compaction/small-object removal; matches
-    post.cc.get_instance_masks(relabel=True) output exactly."""
+    post.cc.get_instance_masks(relabel=compact) output exactly except that
+    compact=False here still renumbers to scipy raster ids (with gaps where
+    small objects were removed), not raw seed minima."""
     raw = np.asarray(label_components_device(jnp.asarray(binary_mask)))
+    return compact_labels(raw, min_size=min_size, relabel=compact)
+
+
+def compact_labels(
+    raw: np.ndarray, min_size: int = 15, relabel: bool = False
+) -> np.ndarray:
+    """Host post-pass on raw device labels, mirroring post.cc.get_instance_masks
+    step for step: renumber seed-minimum labels to scipy's raster-order
+    1..n, remove small objects id-preserving (gaps allowed), optionally
+    compact. Split out so callers that already hold fetched device labels
+    (e.g. predict --device-cc) skip the re-upload."""
+    from unetseg_tpu.post.cc import relabel_sequential, remove_small
+
     if raw.max() == 0:
         return raw.astype(np.uint16)
+    # Raw labels are 1 + the component's minimum flat index; sorted unique
+    # ids are therefore exactly scipy.ndimage.label's raster numbering.
     ids, inv = np.unique(raw, return_inverse=True)
-    counts = np.bincount(inv.ravel())
-    # position 0 is background iff ids[0] == 0
-    labels = inv.reshape(raw.shape)
-    if ids[0] == 0:
-        small = counts < min_size
-        small[0] = False
-        labels = np.where(small[labels], 0, labels)
-    else:
+    labels = inv.reshape(raw.shape).astype(np.int64)
+    if ids[0] != 0:  # no background pixel: shift so components start at 1
         labels = labels + 1
-        small = np.concatenate([[False], counts < min_size])
-        labels = np.where(small[labels], 0, labels)
-    if compact:
-        # renumber in raster order of first appearance (scipy semantics),
-        # vectorized: unique ids sorted by their first flat index
-        flat = labels.ravel()
-        ids, first_idx = np.unique(flat, return_index=True)
-        nonzero = ids != 0
-        order = np.argsort(first_idx[nonzero])
-        lut = np.zeros(int(ids.max()) + 1, np.uint16)
-        lut[ids[nonzero][order]] = np.arange(1, nonzero.sum() + 1, dtype=np.uint16)
-        return lut[flat].reshape(labels.shape)
+    labels = remove_small(labels, min_size)
+    if relabel:
+        labels = relabel_sequential(labels)
     return labels.astype(np.uint16)
