@@ -1,8 +1,8 @@
-"""Tracklet gap-closing unit tests."""
+"""Tracklet gap-closing and division-pruning unit tests."""
 
 import numpy as np
 
-from unetseg_tpu.track.postprocess import close_gaps
+from unetseg_tpu.track.postprocess import close_gaps, prune_short_divisions
 from unetseg_tpu.track.tracker import Tracker
 
 
@@ -54,6 +54,47 @@ def test_divided_parent_not_gap_linked():
     parents = [t for t in tracks if t.parent_label > 0]
     assert len(parents) == 2  # division intact
     assert len(tracks) == 3
+
+
+def _run_prune(masks, frame_nums=None, **kw):
+    nums = list(frame_nums or range(len(masks)))
+    tr = Tracker()
+    for m, n in zip(masks, nums):
+        tr.update(m, n)
+    return prune_short_divisions(masks, nums, tr.tracks(), tr.assignments(), **kw)
+
+
+def test_prune_revokes_one_frame_daughter():
+    parent = frame((1, 20, 40, 20, 40))
+    both = frame((1, 20, 30, 20, 40), (2, 30, 40, 20, 40))
+    only1 = frame((1, 20, 30, 20, 40))
+    masks = [parent, both, only1, only1, only1]
+    tracks, assignments = _run_prune(masks, min_child_frames=3)
+    # daughter 2 lived one frame -> division revoked: the surviving daughter
+    # merges back into the parent; the fragment becomes parentless
+    assert all(t.parent_label == 0 for t in tracks)
+    long_tracks = [t for t in tracks if t.end_frame == 4]
+    assert len(long_tracks) == 1
+    assert long_tracks[0].start_frame == 0
+    # assignments now map the continuing object to the parent's id
+    assert assignments[4][1] == long_tracks[0].label
+
+
+def test_prune_keeps_persistent_division():
+    parent = frame((1, 20, 40, 20, 40))
+    both = frame((1, 20, 30, 20, 40), (2, 30, 40, 20, 40))
+    masks = [parent, both, both, both]
+    tracks, _ = _run_prune(masks, min_child_frames=3)
+    assert len([t for t in tracks if t.parent_label > 0]) == 2
+
+
+def test_prune_spares_sequence_end_censoring():
+    """A daughter that runs to the last frame is censored, not short."""
+    parent = frame((1, 20, 40, 20, 40))
+    both = frame((1, 20, 30, 20, 40), (2, 30, 40, 20, 40))
+    masks = [parent, both, both]  # daughters live 2 frames, to the end
+    tracks, _ = _run_prune(masks, min_child_frames=3)
+    assert len([t for t in tracks if t.parent_label > 0]) == 2
 
 
 def test_chained_merges_resolve():

@@ -159,13 +159,16 @@ def test_faithful_active_map_keeps_stale_entries():
 
 
 def test_division_from_matched_mode():
-    """Improved mode: a matched daughter plus an unmatched sibling at the
-    division threshold is reinterpreted as a division (off by default)."""
+    """Improved mode (the default): a matched daughter plus an unmatched
+    sibling at the division threshold is reinterpreted as a division;
+    division_from_matched=False restores reference semantics."""
     parent = frame((1, 20, 40, 20, 40))            # 400 px
     # daughter1 wins the 1-1 match (IoU 240/400 = 0.6 > 0.3 but <= cap),
     # daughter2 overlaps at 160/400 = 0.4 >= 0.1
     daughters = frame((1, 20, 32, 20, 40), (2, 32, 40, 20, 40))
-    ref = track_sequence_masks([parent, daughters])
+    ref = track_sequence_masks(
+        [parent, daughters], cfg=TrackConfig(division_from_matched=False)
+    )
     assert all(t.parent_label == 0 for t in ref)   # reference semantics miss it
     got = track_sequence_masks(
         [parent, daughters],
@@ -176,6 +179,44 @@ def test_division_from_matched_mode():
     assert {t.start_frame for t in kids} == {1}
     parent_track = [t for t in got if t.label == kids[0].parent_label][0]
     assert parent_track.end_frame == 0
+
+
+def test_division_area_gate_rejects_fragments():
+    """A tiny unmatched fragment must not turn a continuation into a
+    division (the round-1 failure mode: watershed fragments triggered 76
+    false children)."""
+    parent = frame((1, 20, 40, 20, 40))             # 400 px
+    # main body wins the 1-to-1 match at IoU 240/400 = 0.6 (<= cap, so the
+    # matched-division rule considers it); the fragment overlaps at
+    # 48/400 = 0.12 >= 0.1 but is only 12% of the parent's area (< 25%)
+    body = frame((1, 20, 32, 20, 40))               # 240 px
+    blob(body, 2, 35, 38, 20, 36)                   # 48 px fragment
+    got = track_sequence_masks([parent, body])
+    kids = [t for t in got if t.parent_label > 0]
+    assert kids == []                               # gate rejected the split
+    # the continuation must survive as one track plus the fragment track
+    assert len(got) == 2
+    # with the gate off it would have divided
+    ungated = track_sequence_masks(
+        [parent, body], cfg=TrackConfig(division_min_child_frac=0.0)
+    )
+    assert len([t for t in ungated if t.parent_label > 0]) == 2
+
+
+def test_division_area_gate_classic_path():
+    """The unmatched-parent (reference) division path is gated too: a
+    half-size daughter plus a tiny fragment is not a division."""
+    parent = frame((1, 20, 40, 20, 40))             # 400 px
+    # both candidates below the 1-to-1 threshold (IoU < 0.3)
+    pieces = frame((2, 20, 28, 20, 33))             # 8x13=104 px, IoU .26
+    blob(pieces, 3, 36, 40, 20, 32)                 # 4x12=48 px, IoU 48/400=.12
+    got = track_sequence_masks([parent, pieces])
+    assert all(t.parent_label == 0 for t in got)
+    # gate off -> division accepted (48/400 = 12% < 25%)
+    ungated = track_sequence_masks(
+        [parent, pieces], cfg=TrackConfig(division_min_child_frac=0.0)
+    )
+    assert len([t for t in ungated if t.parent_label > 0]) == 2
 
 
 def test_division_threshold_config():

@@ -234,14 +234,17 @@ def cmd_track(args) -> int:
     if not files:
         print(f"error: no m*.tif instance masks in {args.instance_dir}", file=sys.stderr)
         return 1
+    prune_k = 0 if args.faithful else args.prune_divisions
     tcfg = TrackConfig(
         iou_threshold_track=args.iou_track,
         iou_threshold_division=args.iou_division,
         max_children=args.max_children,
+        division_from_matched=not args.no_division_from_matched,
+        division_min_child_frac=args.min_child_frac,
     )
     tracker = Tracker(tcfg, faithful_active_map=args.faithful)
     masks = []
-    keep_masks = bool(args.ctc_dir) or args.close_gaps > 0
+    keep_masks = bool(args.ctc_dir) or args.close_gaps > 0 or prune_k > 0
     for f in files:
         m = read_image(f)
         tracker.update(m, frame_number(f))
@@ -259,6 +262,16 @@ def cmd_track(args) -> int:
             max_gap=args.close_gaps, iou_threshold=args.gap_iou,
         )
         print(f"gap closing: {n_before} -> {len(tracks)} tracks")
+    if prune_k > 0:
+        from unetseg_tpu.track.postprocess import prune_short_divisions
+
+        n_div_before = sum(1 for t in tracks if t.parent_label > 0) // 2
+        tracks, assignments = prune_short_divisions(
+            masks, frame_nums, tracks, assignments, min_child_frames=prune_k,
+        )
+        n_div_after = sum(1 for t in tracks if t.parent_label > 0) // 2
+        if n_div_after != n_div_before:
+            print(f"division pruning: {n_div_before} -> {n_div_after} divisions")
     out = args.output or os.path.join(
         os.path.dirname(args.instance_dir.rstrip("/")), "res_track.txt"
     )
@@ -557,6 +570,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--close-gaps", type=int, default=0, metavar="N",
                     help="link tracks across gaps of up to N frames (tracklet stitching)")
     sp.add_argument("--gap-iou", type=float, default=0.2)
+    sp.add_argument("--no-division-from-matched", action="store_true",
+                    help="reference division semantics only (unmatched-parent rule)")
+    sp.add_argument("--min-child-frac", type=float, default=0.25,
+                    help="area gate: every daughter >= this fraction of the "
+                         "parent area (0 disables)")
+    sp.add_argument("--prune-divisions", type=int, default=3, metavar="K",
+                    help="revoke divisions whose childless daughter lives < K "
+                         "frames (0 disables; forced off with --faithful)")
     sp.set_defaults(fn=cmd_track)
 
     sp = sub.add_parser("evaluate", help="IoU/Dice against silver truth")

@@ -113,15 +113,23 @@ class TrackConfig:
     iou_threshold_track: float = 0.3
     iou_threshold_division: float = 0.1
     max_children: int = 2
-    # Improved division detection (off = reference semantics): a dividing
+    # Improved division detection (on by default; faithful mode and
+    # division_from_matched=False give reference semantics): a dividing
     # cell's larger daughter usually wins the 1-to-1 match (IoU ~0.3-0.5),
     # so the reference's unmatched-parent rule misses most divisions. With
     # this on, a matched pair whose parent also overlaps an unmatched
     # object at the division threshold — and whose match IoU is at most
     # `matched_division_iou_cap` (a true division roughly halves IoU) — is
     # reinterpreted as a division.
-    division_from_matched: bool = False
+    division_from_matched: bool = True
     matched_division_iou_cap: float = 0.6
+    # Area gate on division candidates (both detection paths, non-faithful
+    # modes only; 0 disables): every daughter must be at least this fraction
+    # of the parent's area. Real HeLa daughters are ~half the parent;
+    # watershed fragments are far smaller — the gate removes the
+    # fragment-triggered false divisions that made division_from_matched
+    # over-trigger (76 children on seq 01 in round 1).
+    division_min_child_frac: float = 0.25
 
 
 @dataclass(frozen=True)

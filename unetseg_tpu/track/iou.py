@@ -16,13 +16,16 @@ import numpy as np
 
 
 def pairwise_iou(
-    prev_mask: np.ndarray, curr_mask: np.ndarray
-) -> Tuple[np.ndarray, List[int], List[int]]:
+    prev_mask: np.ndarray, curr_mask: np.ndarray, return_areas: bool = False
+):
     """IoU matrix between all labeled objects of two masks.
 
     Returns (iou (P, C) float64, prev_labels, curr_labels), labels sorted
     ascending (np.unique order, matching the reference's
     get_mask_properties iteration order, reference: scripts/track.py:53-54).
+    With return_areas, appends the per-object pixel areas
+    (prev_areas (P,), curr_areas (C,)) — free by-products of the joint
+    histogram, used by the tracker's division area gate.
     """
     p = np.asarray(prev_mask).ravel()
     c = np.asarray(curr_mask).ravel()
@@ -33,7 +36,10 @@ def pairwise_iou(
     c_labels = c_labels[c_labels != 0]
     np_, nc = len(p_labels), len(c_labels)
     if np_ == 0 or nc == 0:
-        return np.zeros((np_, nc)), list(p_labels), list(c_labels)
+        empty = (np.zeros((np_, nc)), list(p_labels), list(c_labels))
+        if return_areas:
+            return empty + (np.zeros(np_), np.zeros(nc))
+        return empty
 
     # dense index encoding: 0 = background, 1..n = object index
     p_idx = np.searchsorted(p_labels, p)
@@ -50,4 +56,7 @@ def pairwise_iou(
     union = area_p + area_c - inter
     with np.errstate(divide="ignore", invalid="ignore"):
         iou = np.where(union > 0, inter / union, 0.0)
-    return iou, [int(x) for x in p_labels], [int(x) for x in c_labels]
+    out = (iou, [int(x) for x in p_labels], [int(x) for x in c_labels])
+    if return_areas:
+        return out + (area_p[:, 0], area_c[0, :])
+    return out

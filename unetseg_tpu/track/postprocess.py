@@ -1,4 +1,4 @@
-"""Track post-processing: gap closing.
+"""Track post-processing: gap closing and division pruning.
 
 The greedy frame-to-frame matcher fragments lineages whenever segmentation
 drops a cell for a frame or two (the reference's output is the extreme case:
@@ -107,6 +107,109 @@ def close_gaps(
             continue
         t = by_id[t.label]
         parent = resolve(t.parent_label) if t.parent_label > 0 else 0
+        new_tracks.append(replace(t, parent_label=parent))
+    new_assignments = [
+        {lab: resolve(tid) for lab, tid in a.items()} for a in assignments
+    ]
+    return new_tracks, new_assignments
+
+
+def prune_short_divisions(
+    masks: Sequence[np.ndarray],
+    frame_nums: Sequence[int],
+    tracks: List[CellTrack],
+    assignments: List[Dict[int, int]],
+    min_child_frames: int = 3,
+) -> Tuple[List[CellTrack], List[Dict[int, int]]]:
+    """Revoke divisions whose daughters do not persist.
+
+    A real division produces two daughters that both live on; a watershed
+    fragment produces a 'daughter' that disappears within a frame or two. For
+    each division event where a childless daughter lives < `min_child_frames`
+    frames (and does not run to the end of the sequence, which is censoring,
+    not evidence), the division is revoked: the daughter that best continues
+    the parent (IoU of the parent's last object vs each daughter's first
+    object) is merged back into the parent track, and the other daughter
+    becomes a parentless track. Temporal-persistence gate the reference's
+    division rule (reference: scripts/track.py:198-243) lacks entirely.
+    """
+    frame_index = {f: i for i, f in enumerate(frame_nums)}
+    last_frame = max(frame_nums) if len(frame_nums) else -1
+    by_id = {t.label: t for t in tracks}
+    children_of: Dict[int, List[CellTrack]] = {}
+    for t in tracks:
+        if t.parent_label > 0:
+            children_of.setdefault(t.parent_label, []).append(t)
+
+    label_in_frame: Dict[Tuple[int, int], int] = {}
+    for idx, assignment in enumerate(assignments):
+        for lab, tid in assignment.items():
+            label_in_frame[(idx, tid)] = lab
+
+    def object_iou(tid_a: int, fidx_a: int, tid_b: int, fidx_b: int) -> float:
+        lab_a = label_in_frame.get((fidx_a, tid_a))
+        lab_b = label_in_frame.get((fidx_b, tid_b))
+        if lab_a is None or lab_b is None:
+            return 0.0
+        m, _, _ = pairwise_iou(
+            (np.asarray(masks[fidx_a]) == lab_a).astype(np.uint16),
+            (np.asarray(masks[fidx_b]) == lab_b).astype(np.uint16),
+        )
+        return float(m[0, 0]) if m.size else 0.0
+
+    merge_into: Dict[int, int] = {}  # daughter track id -> parent id
+    orphaned: set = set()
+
+    for parent_id, kids in children_of.items():
+        if len(kids) != 2 or parent_id not in by_id:
+            continue
+        parent = by_id[parent_id]
+
+        def is_short(k: CellTrack) -> bool:
+            return (
+                k.end_frame - k.start_frame + 1 < min_child_frames
+                and k.label not in children_of
+                and k.end_frame < last_frame
+            )
+
+        if not any(is_short(k) for k in kids):
+            continue
+        # revoke: the daughter continuing the parent is the one with the
+        # higher IoU against the parent's final object
+        p_idx = frame_index.get(parent.end_frame)
+        ious = []
+        for k in kids:
+            k_idx = frame_index.get(k.start_frame)
+            v = (
+                object_iou(parent_id, p_idx, k.label, k_idx)
+                if p_idx is not None and k_idx is not None
+                else 0.0
+            )
+            ious.append((v, k.end_frame - k.start_frame + 1, k.label))
+        keep = by_id[max(ious)[2]]
+        drop = kids[0] if kids[1].label == keep.label else kids[1]
+        merge_into[keep.label] = parent_id
+        by_id[parent_id] = replace(parent, end_frame=keep.end_frame)
+        orphaned.add(drop.label)
+
+    if not merge_into:
+        return tracks, assignments
+
+    def resolve(tid: int) -> int:
+        while tid in merge_into:
+            tid = merge_into[tid]
+        return tid
+
+    new_tracks = []
+    for t in tracks:
+        if t.label in merge_into:
+            continue
+        t = by_id[t.label]
+        parent = t.parent_label
+        if t.label in orphaned:
+            parent = 0
+        elif parent > 0:
+            parent = resolve(parent)
         new_tracks.append(replace(t, parent_label=parent))
     new_assignments = [
         {lab: resolve(tid) for lab, tid in a.items()} for a in assignments

@@ -89,8 +89,22 @@ class Tracker:
             self._finish_frame(mask, assignment)
             return assignment
 
-        iou, prev_labels, curr_labels = pairwise_iou(st.prev_mask, mask)
+        iou, prev_labels, curr_labels, prev_areas, curr_areas = pairwise_iou(
+            st.prev_mask, mask, return_areas=True
+        )
         n_prev, n_curr = len(prev_labels), len(curr_labels)
+
+        def area_gate_ok(i: int, child_js) -> bool:
+            """Every daughter >= division_min_child_frac of the parent's
+            area (improvement over the reference, disabled in faithful
+            mode — watershed fragments are far smaller than real
+            daughters)."""
+            frac = cfg.division_min_child_frac
+            if self.faithful or frac <= 0:
+                return True
+            return all(
+                curr_areas[j] >= frac * prev_areas[i] for j in child_js
+            )
         assignment: Dict[int, int] = {}
         matched_prev: set = set()
         matched_curr: set = set()
@@ -132,7 +146,9 @@ class Tracker:
                     if j2 not in matched_curr
                     and iou[i, j2] >= cfg.iou_threshold_division
                 ]
-                if len(extras) == cfg.max_children - 1:
+                if len(extras) == cfg.max_children - 1 and area_gate_ok(
+                    i, [j] + extras
+                ):
                     # reinterpret the 1-to-1 match as a division
                     st.tracks[tid].end_frame = frame_num - 1
                     del assignment[curr_labels[j]]
@@ -152,7 +168,9 @@ class Tracker:
                 j for j in unmatched_curr
                 if iou[i, j] >= cfg.iou_threshold_division
             ]
-            if 2 <= len(children) <= cfg.max_children:
+            if 2 <= len(children) <= cfg.max_children and area_gate_ok(
+                i, children
+            ):
                 parent_tid = st.active.pop(p_lab)
                 st.tracks[parent_tid].end_frame = frame_num - 1
                 for j in children:
