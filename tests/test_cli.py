@@ -110,15 +110,18 @@ def test_visualize_cli(tree, tmp_path):
 
 
 @pytest.mark.slow
-def test_full_workflow_train_predict_track(tree, tmp_path):
+def test_full_workflow_train_predict_track(tree, tmp_path, capsys):
     """The reference README's 8-step workflow end-to-end on a tiny net."""
     ckpt = str(tmp_path / "ckpts")
     assert main(["preprocess", "--data-root", str(tree), "--sequence", "01"]) == 0
     # tiny net via config file
     cfg_file = str(tmp_path / "cfg.json")
-    from unetseg_tpu.core.config import Config, ModelConfig
+    from unetseg_tpu.core.config import Config, InferConfig, ModelConfig
 
-    cfg = Config(model=ModelConfig(compute_dtype="float32", base_features=4))
+    cfg = Config(
+        model=ModelConfig(compute_dtype="float32", base_features=4),
+        infer=InferConfig(image_size=SIZE),
+    )
     with open(cfg_file, "w") as f:
         f.write(cfg.to_json())
     assert main([
@@ -136,3 +139,25 @@ def test_full_workflow_train_predict_track(tree, tmp_path):
     assert len(os.listdir(inst_dir)) == 4
     assert main(["track", "--instance-dir", inst_dir]) == 0
     assert os.path.exists(os.path.join(out_dir, "res_track.txt"))
+
+    # pooled evaluation protocol (reference: scripts/evaluate.py:54-82):
+    # stage a second sequence, pool 01+02, score one split of the pool
+    (tree / "02").mkdir()
+    (tree / "02_ST" / "SEG").mkdir(parents=True)
+    for i in range(4):
+        for sub in ["", "_ST/SEG"]:
+            src = "01" + sub
+            dst = "02" + sub
+            name = f"t{i:03d}.tif" if not sub else f"man_seg{i:03d}.tif"
+            os.link(str(tree / src / name), str(tree / dst / name))
+    capsys.readouterr()
+    assert main([
+        "evaluate", "--config", cfg_file, "--checkpoint-dir", ckpt,
+        "--data-root", str(tree), "--sequences", "01", "02",
+        "--pooled", "--val-only", "--val-percent", "0.25",
+    ]) == 0
+    pooled = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # one split over the 8-frame pool: int(8 * 0.25) = 2 val samples
+    # (the per-sequence protocol would split each sequence separately)
+    assert pooled["n_samples"] == 2
+    assert 0.0 <= pooled["mean_iou"] <= 1.0

@@ -313,15 +313,32 @@ def cmd_evaluate(args) -> int:
     ious: List[float] = []
     dices: List[float] = []
     rands: List[float] = []
-    for seq in sequences:
-        data = HeLaArrays.load(
+    loaded = [
+        HeLaArrays.load(
             dataclasses.replace(cfg.data, data_root=data_root, sequence=seq),
             require_weight_maps=False,
             image_size=cfg.infer.image_size,
         )
+        for seq in sequences
+    ]
+    if args.pooled and len(loaded) > 1:
+        # The reference's evaluation protocol pools every sequence into one
+        # concatenated dataset and scores a random split of the pool
+        # (reference: scripts/evaluate.py:54-82 ConcatDataset + random_split).
+        # Our default protocol (per-sequence, below) separates train-sequence
+        # from held-out scores; this flag reproduces the pooled split.
+        pooled = HeLaArrays(
+            images=np.concatenate([d.images for d in loaded]),
+            masks=np.concatenate([d.masks for d in loaded]),
+            weight_maps=None,
+            files=[t for d in loaded for t in d.files],
+        )
+        loaded = [pooled]
+    for data in loaded:
         idx = np.arange(len(data))
         if args.val_only:
-            _, idx = train_val_split(len(data), cfg.data.val_percent, args.seed)
+            vp = args.val_percent if args.val_percent is not None else cfg.data.val_percent
+            _, idx = train_val_split(len(data), vp, args.seed)
         bs = args.batch_size or cfg.train.batch_size
         for s in range(0, len(idx), bs):
             chunk = idx[s : s + bs]
@@ -588,6 +605,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--data-root", default=None)
     sp.add_argument("--sequences", nargs="*", default=None)
     sp.add_argument("--val-only", action="store_true")
+    sp.add_argument("--val-percent", type=float, default=None,
+                    help="validation fraction for --val-only (default: config)")
+    sp.add_argument("--pooled", action="store_true",
+                    help="pool all sequences into one dataset and split once "
+                         "(the reference's ConcatDataset+random_split protocol)")
     sp.add_argument("--rand", action="store_true",
                     help="also report the Rand index of CC instances vs GT instances")
     sp.add_argument("--seed", type=int, default=0)

@@ -72,6 +72,10 @@ class TrainConfig:
     # train state is expensive on slow links; the final epoch always saves
     # if it improved)
     checkpoint_min_interval: int = 1
+    # epochs between full (resumable fp32+optimizer) saves; best-val saves
+    # in between write only the ~6x-smaller bf16 inference shadow. The last
+    # epoch always writes a full save.
+    full_save_interval: int = 5
     seed: int = 0
     log_every: int = 10              # steps between metric log lines (each
                                      # log point syncs a device scalar)

@@ -132,6 +132,17 @@ def reflect_index(idx: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.where(idx >= n, 2 * n - 1 - idx, idx)
 
 
+def displacement_pad(alpha: float, sigma: float) -> int:
+    """Static bound on |displacement| used to size the reflect-padded
+    sampling halo. The blurred uniform field is a kernel-weighted sum of
+    U[-1,1] with std 1/(2*sigma*sqrt(pi)) in 2D, so 8 standard deviations of
+    the displacement (alpha * field) is never exceeded in practice
+    (P < 1e-15 per pixel); coordinates are clamped to the halo so the
+    (astronomically rare) tail clips instead of reading out of bounds."""
+    sd = float(alpha) / (2.0 * float(sigma) * math.sqrt(math.pi))
+    return int(math.ceil(min(8.0 * sd, float(alpha)))) + 1
+
+
 @partial(jax.jit, static_argnames=("alpha", "sigma", "truncate"))
 def elastic_deform_batch(
     key: jax.Array,
@@ -145,40 +156,73 @@ def elastic_deform_batch(
     mirroring the reference's fresh seed per __getitem__
     (reference: utils/dataset.py:83-93).
 
-    The sampling is a batched flat-index take with explicit reflect indexing
-    rather than vmapped map_coordinates: runtime-computed scatter/gather
-    indices are the slow path on TPU, and one large flat gather measured
-    ~1.7x faster than map_coordinates' lowering (40 ms vs 68 ms per
-    4x512^2 batch including field generation). Numerics match the per-item
-    path to float tolerance (bilinear) / round-ties (nearest)."""
+    TPU schedule: runtime-index gathers are the slow path, so instead of the
+    five scalar gathers a naive bilinear+nearest sampler needs (4 image taps
+    + 1 mask tap), the image and mask are packed into one (Hp, Wp, 2) f32
+    array whose borders are materialized with scipy-'reflect' indexing
+    (exact for any |displacement| <= halo, see displacement_pad), and ONE
+    lax.gather of (2, 2, 2) patches per item serves every tap: the bilinear
+    corners come from the patch and the nearest mask tap is patch[ry, rx].
+    4x fewer gather indices than the flat-take formulation it replaces
+    (which itself measured 1.7x faster than vmapped map_coordinates).
+    Numerics match the per-item path to float tolerance (bilinear) /
+    round-ties (nearest)."""
     b, h, w = images.shape
+    d = displacement_pad(alpha, sigma)
     keys = jax.random.split(key, b)
     dys, dxs = jax.vmap(
         lambda k: displacement_fields(k, (h, w), alpha, sigma, truncate)
     )(keys)
     yy = jnp.arange(h, dtype=jnp.float32)[None, :, None] + dys
     xx = jnp.arange(w, dtype=jnp.float32)[None, None, :] + dxs
+    # clamp into the halo; floor stays a valid (2,2) patch start
+    yy = jnp.clip(yy, -d, h - 1 + d - 1.001)
+    xx = jnp.clip(xx, -d, w - 1 + d - 1.001)
 
-    y0f = jnp.floor(yy)
-    x0f = jnp.floor(xx)
-    ty = yy - y0f
-    tx = xx - x0f
-    y0 = y0f.astype(jnp.int32)
-    x0 = x0f.astype(jnp.int32)
-    base = (jnp.arange(b, dtype=jnp.int32) * h * w)[:, None, None]
-    flat_img = images.astype(jnp.float32).reshape(-1)
-    flat_mask = masks.reshape(-1)
+    # reflect-padded pack, built by indexed takes (valid for any halo size,
+    # unlike jnp.pad mode='reflect' which requires pad < dim)
+    rows = reflect_index(jnp.arange(-d, h + d), h)
+    cols = reflect_index(jnp.arange(-d, w + d), w)
+    pack = jnp.stack(
+        [images.astype(jnp.float32), masks.astype(jnp.float32)], axis=-1
+    )[:, rows[:, None], cols[None, :], :]  # (B, Hp, Wp, 2)
 
-    def tap(yi, xi):
-        return jnp.take(flat_img, base + reflect_index(yi, h) * w + reflect_index(xi, w))
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    ty = yy - y0
+    tx = xx - x0
+    starts = jnp.stack(
+        [
+            (y0.astype(jnp.int32) + d).reshape(b, -1),
+            (x0.astype(jnp.int32) + d).reshape(b, -1),
+        ],
+        axis=-1,
+    )  # (B, H*W, 2)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    patches = jax.vmap(
+        lambda p, s: jax.lax.gather(
+            p, s, dnums, slice_sizes=(2, 2, 2),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+    )(pack, starts).reshape(b, h, w, 2, 2, 2)
 
     img_d = (
-        tap(y0, x0) * (1 - ty) * (1 - tx)
-        + tap(y0, x0 + 1) * (1 - ty) * tx
-        + tap(y0 + 1, x0) * ty * (1 - tx)
-        + tap(y0 + 1, x0 + 1) * ty * tx
+        patches[..., 0, 0, 0] * (1 - ty) * (1 - tx)
+        + patches[..., 0, 1, 0] * (1 - ty) * tx
+        + patches[..., 1, 0, 0] * ty * (1 - tx)
+        + patches[..., 1, 1, 0] * ty * tx
     )
-    yn = reflect_index(jnp.round(yy).astype(jnp.int32), h)
-    xn = reflect_index(jnp.round(xx).astype(jnp.int32), w)
-    mask_d = jnp.take(flat_mask, base + yn * w + xn)
-    return img_d, mask_d.astype(masks.dtype)
+    ry1 = jnp.round(yy) > y0  # nearest tap is the +1 row/col of the patch
+    rx1 = jnp.round(xx) > x0
+    m = patches[..., 1]
+    near = jnp.where(
+        ry1,
+        jnp.where(rx1, m[..., 1, 1], m[..., 1, 0]),
+        jnp.where(rx1, m[..., 0, 1], m[..., 0, 0]),
+    )
+    return img_d, near.astype(masks.dtype)

@@ -1,11 +1,20 @@
-"""Checkpoint / resume via Orbax.
+"""Checkpoint / resume via Orbax: a light best-k stream + a full resume stream.
 
 The reference only ever saves weights on a new best validation loss and has
 no resume path at all — a mid-run crash loses everything
-(reference: scripts/train.py:102,168-173; SURVEY.md §5). Here the full train
-state (params, BN stats, SGD momentum, step) plus the data-order RNG seed is
-checkpointed with best-k retention keyed on validation loss, and training can
-resume exactly where it stopped.
+(reference: scripts/train.py:102,168-173; SURVEY.md §5). Here checkpointing
+is split into two streams sized for their consumers:
+
+- **light best-k** (the checkpoint directory root): bf16 params shadow +
+  fp32 BatchNorm statistics — everything inference needs, ~6x smaller than
+  the full train state (62 MB vs 372 MB for the Adam flagship), so frequent
+  new-best saves stay cheap through the slow device->host path.
+- **full resume** (`<dir>/full`, latest only): fp32 params + optimizer state
+  + step, written on a coarser cadence (TrainConfig.full_save_interval) and
+  always at the end, so training can resume exactly.
+
+Legacy single-stream directories (round-1 layout: full state at the root)
+remain restorable by both paths.
 """
 
 from __future__ import annotations
@@ -13,10 +22,14 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
 from unetseg_tpu.train.state import TrainState
+
+FULL_SUBDIR = "full"
 
 
 def _manager(directory: str, keep: int) -> ocp.CheckpointManager:
@@ -29,16 +42,42 @@ def _manager(directory: str, keep: int) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(os.path.abspath(directory), options=options)
 
 
+def _shadow_dtype(tree, dtype):
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
+def _light_payload(state: TrainState) -> Dict[str, Any]:
+    return {
+        "params": _shadow_dtype(state.params, jnp.bfloat16),
+        "batch_stats": state.batch_stats,
+    }
+
+
+def _full_payload(state: TrainState) -> Dict[str, Any]:
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+    }
+
+
 class Checkpointer:
-    """Long-lived manager for asynchronous best-k checkpointing.
+    """Long-lived manager for asynchronous two-stream checkpointing.
 
     Orbax saves run in the background; the train loop keeps stepping while
-    the previous checkpoint drains (device-to-host transfer of the 372 MB
-    train state costs ~15 s through the remote-TPU tunnel — synchronous
-    saves would dominate epochs that improve every time)."""
+    the previous checkpoint drains (device-to-host transfer of the full
+    372 MB train state costs ~15 s through the remote-TPU tunnel — the light
+    stream cuts the common-case transfer ~6x)."""
 
     def __init__(self, directory: str, keep: int = 3):
         self._mgr = _manager(directory, keep)
+        self._full = _manager(os.path.join(directory, FULL_SUBDIR), keep=1)
 
     def save(
         self,
@@ -47,16 +86,28 @@ class Checkpointer:
         val_loss: float,
         extra: Optional[Dict[str, Any]] = None,
     ) -> None:
-        payload = {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-            "step": np.asarray(state.step),
-        }
+        """Light best-k save (bf16 params + BN stats): the inference artifact."""
         self._mgr.save(
             epoch,
             args=ocp.args.Composite(
-                state=ocp.args.StandardSave(payload),
+                state=ocp.args.StandardSave(_light_payload(state)),
+                extra=ocp.args.JsonSave(extra or {}),
+            ),
+            metrics={"val_loss": float(val_loss)},
+        )
+
+    def save_full(
+        self,
+        state: TrainState,
+        epoch: int,
+        val_loss: float,
+        extra: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        """Full train-state save (latest only): the resume artifact."""
+        self._full.save(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(_full_payload(state)),
                 extra=ocp.args.JsonSave(extra or {}),
             ),
             metrics={"val_loss": float(val_loss)},
@@ -65,6 +116,8 @@ class Checkpointer:
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()
+        self._full.wait_until_finished()
+        self._full.close()
 
 
 def save_checkpoint(
@@ -75,13 +128,18 @@ def save_checkpoint(
     keep: int = 3,
     extra: Optional[Dict[str, Any]] = None,
 ) -> None:
-    """One-shot synchronous save (tests / scripts)."""
+    """One-shot synchronous save of both streams (tests / scripts)."""
     ck = Checkpointer(directory, keep)
     ck.save(state, epoch, val_loss, extra)
+    ck.save_full(state, epoch, val_loss, extra)
     ck.close()
 
 
-def latest_epoch(directory: str) -> Optional[int]:
+def _full_dir(directory: str) -> str:
+    return os.path.join(directory, FULL_SUBDIR)
+
+
+def _stream_latest(directory: str) -> Optional[int]:
     if not os.path.isdir(directory):
         return None
     mgr = _manager(directory, keep=100)
@@ -90,39 +148,43 @@ def latest_epoch(directory: str) -> Optional[int]:
     return step
 
 
+def latest_epoch(directory: str) -> Optional[int]:
+    """Latest RESUMABLE epoch: the full stream, falling back to a legacy
+    (round-1 single-stream) directory root."""
+    full = _stream_latest(_full_dir(directory))
+    if full is not None:
+        return full
+    return _stream_latest(directory)
+
+
+def light_latest_epoch(directory: str) -> Optional[int]:
+    return _stream_latest(directory)
+
+
 def best_epoch(directory: str) -> Optional[int]:
+    """Best epoch of the light best-k stream (val-loss keyed)."""
+    if not os.path.isdir(directory):
+        return None
     mgr = _manager(directory, keep=100)
     step = mgr.best_step()
     mgr.close()
     return step
 
 
-def restore_checkpoint(
-    directory: str,
-    state: TrainState,
-    epoch: Optional[int] = None,
-) -> Tuple[TrainState, int, Dict[str, Any]]:
-    """Restore into a template `state` (from create_train_state). Returns
-    (state, epoch_restored, extra)."""
+def _restore_full_from(
+    directory: str, state: TrainState, epoch: int
+) -> Tuple[TrainState, Dict[str, Any]]:
     mgr = _manager(directory, keep=100)
-    if epoch is None:
-        epoch = mgr.latest_step()
-    if epoch is None:
-        raise FileNotFoundError(f"no checkpoints under {directory}")
-    template = {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "step": np.asarray(state.step),
-    }
-    restored = mgr.restore(
-        epoch,
-        args=ocp.args.Composite(
-            state=ocp.args.StandardRestore(template),
-            extra=ocp.args.JsonRestore(),
-        ),
-    )
-    mgr.close()
+    try:
+        restored = mgr.restore(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(_full_payload(state)),
+                extra=ocp.args.JsonRestore(),
+            ),
+        )
+    finally:
+        mgr.close()
     st = restored["state"]
     state = state.replace(
         params=st["params"],
@@ -130,7 +192,64 @@ def restore_checkpoint(
         opt_state=st["opt_state"],
         step=int(np.asarray(st["step"])),
     )
-    return state, int(epoch), restored.get("extra") or {}
+    return state, restored.get("extra") or {}
+
+
+def restore_checkpoint(
+    directory: str,
+    state: TrainState,
+    epoch: Optional[int] = None,
+) -> Tuple[TrainState, int, Dict[str, Any]]:
+    """Restore the full train state into a template `state` (resume path).
+    Reads `<dir>/full`, falling back to a legacy full-state root. Returns
+    (state, epoch_restored, extra)."""
+    full_dir = _full_dir(directory)
+    full_epoch = _stream_latest(full_dir)
+    if full_epoch is not None:
+        e = epoch if epoch is not None else full_epoch
+        try:
+            state, extra = _restore_full_from(full_dir, state, e)
+            return state, int(e), extra
+        except Exception:
+            if epoch is not None:
+                raise  # the caller asked for this specific epoch
+    e = epoch if epoch is not None else _stream_latest(directory)
+    if e is None:
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    state, extra = _restore_full_from(directory, state, e)
+    return state, int(e), extra
+
+
+def restore_light(
+    directory: str,
+    params_template: Dict[str, Any],
+    batch_stats_template: Dict[str, Any],
+    epoch: Optional[int] = None,
+) -> Tuple[Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
+    """Restore (params fp32, batch_stats, extra) from the light stream."""
+    mgr = _manager(directory, keep=100)
+    if epoch is None:
+        epoch = mgr.latest_step()
+    if epoch is None:
+        mgr.close()
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    template = {
+        "params": _shadow_dtype(params_template, jnp.bfloat16),
+        "batch_stats": batch_stats_template,
+    }
+    try:
+        restored = mgr.restore(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(template),
+                extra=ocp.args.JsonRestore(),
+            ),
+        )
+    finally:
+        mgr.close()
+    st = restored["state"]
+    params = _shadow_dtype(st["params"], jnp.float32)
+    return params, st["batch_stats"], restored.get("extra") or {}
 
 
 def read_checkpoint_config(
@@ -160,11 +279,20 @@ def restore_params_for_inference(
     consumer-side equivalent of the reference's torch.load into eval scripts
     (reference: scripts/predict.py:123, scripts/inference.py:47).
 
-    The optimizer state template must match what the checkpoint holds (SGD
-    momentum vs Adam moments differ structurally); the saved config is read
-    first and the template's optimizer rebuilt from it."""
+    Tries the light best-k stream first (no optimizer state involved at
+    all); falls back to a legacy full-state root, where the optimizer state
+    template must structurally match the checkpoint (SGD momentum vs Adam
+    moments differ), so the saved config is read and the template's
+    optimizer rebuilt from it."""
     if epoch is None and prefer_best:
         epoch = best_epoch(directory)
+    try:
+        params, batch_stats, _ = restore_light(
+            directory, state.params, state.batch_stats, epoch
+        )
+        return params, batch_stats
+    except Exception:
+        pass  # legacy full-state root below
     try:
         saved = read_checkpoint_config(directory, epoch)
         train_section = saved.get("train")
@@ -185,5 +313,8 @@ def restore_params_for_inference(
             state = state.replace(tx=tx, opt_state=tx.init(state.params))
     except Exception:
         pass  # fall back to the caller's template
-    st, _, _ = restore_checkpoint(directory, state, epoch)
+    if epoch is not None:
+        st, extra = _restore_full_from(directory, state, epoch)
+    else:
+        st, _, extra = restore_checkpoint(directory, state, None)
     return st.params, st.batch_stats

@@ -117,6 +117,7 @@ def train(
         else None
     )
     last_saved_epoch = -(10**9)
+    last_full_epoch = -(10**9)
     pending_best = None  # (state, epoch, val_loss) awaiting the cooldown
 
     for epoch in range(start_epoch, t_cfg.num_epochs):
@@ -217,6 +218,18 @@ def train(
                 logger.log(
                     {"event": "checkpoint", "epoch": b_epoch, "val_loss": b_loss}
                 )
+        # full (resumable) save on its own coarser cadence; the CURRENT
+        # state, not the best — resume continues from where training stopped
+        if checkpointer is not None and (
+            epoch - last_full_epoch >= t_cfg.full_save_interval
+            or epoch == t_cfg.num_epochs - 1
+            or done
+        ):
+            checkpointer.save_full(
+                state, epoch, val_loss, extra={"config": cfg.to_dict()}
+            )
+            last_full_epoch = epoch
+            logger.log({"event": "checkpoint_full", "epoch": epoch})
         if done:
             break
 
