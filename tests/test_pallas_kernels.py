@@ -90,3 +90,55 @@ def test_edt_sq_pallas_matches_scipy():
     ours = np.asarray(edt_sq_pallas(jnp.asarray(feat), interpret=True))
     ref = sp_edt(~feat) ** 2
     np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+# ------------------------------------------------- elastic matmul-resampler
+def test_elastic_sampler_matches_gather_path():
+    """Pallas sample_displaced (interpret) == the XLA (2,2,2)-patch gather
+    path of elastic_deform_batch, taps and weights identical."""
+    from unetseg_tpu.ops.elastic import (
+        displacement_fields,
+        displacement_pad,
+        elastic_deform_batch,
+        reflect_index,
+    )
+    from unetseg_tpu.ops.pallas.elastic import PAD_X, PAD_Y, sample_displaced
+
+    b, h, w = 2, 64, 128
+    alpha, sigma = 30.0, 4.0
+    d = displacement_pad(alpha, sigma)
+    rs = np.random.RandomState(3)
+    images = jnp.asarray(rs.rand(b, h, w), jnp.float32)
+    masks = jnp.asarray(rs.randint(0, 7, (b, h, w)), jnp.int32)
+    key = jax.random.key(11)
+
+    # reference: the XLA gather path (CPU backend never dispatches to Pallas)
+    ref_img, ref_mask = elastic_deform_batch(
+        key, images, masks, alpha=alpha, sigma=sigma
+    )
+
+    # rebuild the same coordinates + x-major pack, run the kernel interpreted
+    keys = jax.random.split(key, b)
+    dys, dxs = jax.vmap(
+        lambda k: displacement_fields(k, (h, w), alpha, sigma, 4.0)
+    )(keys)
+    yy = jnp.clip(
+        jnp.arange(h, dtype=jnp.float32)[None, :, None] + dys, -d, h - 1 + d - 1.001
+    )
+    xx = jnp.clip(
+        jnp.arange(w, dtype=jnp.float32)[None, None, :] + dxs, -d, w - 1 + d - 1.001
+    )
+    rows = reflect_index(jnp.arange(-(d + PAD_Y), h + d + PAD_Y), h)
+    cols = reflect_index(jnp.arange(-(d + PAD_X), w + d + PAD_X), w)
+    pack_x = jnp.stack(
+        [images.astype(jnp.float32), masks.astype(jnp.float32)], axis=1
+    )[:, :, rows[:, None], cols[None, :]]
+
+    img, mask = sample_displaced(pack_x, yy, xx, d, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(ref_img), atol=2e-5, rtol=0
+    )
+    # nearest taps are exact 0/1 selections -> integer-equal
+    np.testing.assert_array_equal(
+        np.asarray(mask).astype(np.int32), np.asarray(ref_mask)
+    )

@@ -7,6 +7,7 @@ import pytest
 from unetseg_tpu.post.watershed import (
     distance_markers,
     get_instance_masks_watershed,
+    merge_shallow_ridges,
     watershed,
 )
 
@@ -70,3 +71,55 @@ def test_watershed_respects_mask():
 def test_empty_mask():
     inst = get_instance_masks_watershed(np.zeros((16, 16), np.uint8), backend="python")
     assert inst.sum() == 0
+
+
+def test_saddle_merge_keeps_true_contact_split():
+    # two disks joined by a thin neck: the saddle (neck half-width) is far
+    # below the peaks (disk radii), so the split must survive merging
+    m = _two_touching_disks(r=10, sep=19)
+    split = get_instance_masks_watershed(
+        m, min_size=5, marker_frac=0.6, smooth_sigma=1.0, backend="python"
+    )
+    merged = get_instance_masks_watershed(
+        m, min_size=5, marker_frac=0.6, smooth_sigma=1.0,
+        merge_saddle_frac=0.7, backend="python",
+    )
+    assert len(set(np.unique(split)) - {0}) == 2
+    assert len(set(np.unique(merged)) - {0}) == 2
+
+
+def test_saddle_merge_rejoins_bumpy_single_cell():
+    # dumbbell with a WIDE bridge: two peaks (the square centers) above the
+    # marker threshold, but the connecting ridge is nearly as high as the
+    # peaks — one bumpy cell, not two
+    m = np.zeros((40, 80), np.uint8)
+    m[8:32, 8:32] = 1    # peak ~12
+    m[8:32, 48:72] = 1   # peak ~12
+    m[10:30, 32:48] = 1  # bridge, ridge ~10 >= 0.7 * 12
+    over = get_instance_masks_watershed(
+        m, min_size=5, marker_frac=0.9, smooth_sigma=0.0, backend="python"
+    )
+    fixed = get_instance_masks_watershed(
+        m, min_size=5, marker_frac=0.9, smooth_sigma=0.0,
+        merge_saddle_frac=0.7, backend="python",
+    )
+    assert len(set(np.unique(over)) - {0}) >= 2  # over-segmented without merge
+    assert len(set(np.unique(fixed)) - {0}) == 1
+
+
+def test_merge_shallow_ridges_direct():
+    # hand-built partition: region 1 and 2 split by a ridge as high as the
+    # peaks -> merge; region 3 separated by a zero-depth neck -> keep
+    labels = np.array([
+        [1, 1, 2, 2, 0, 3, 3],
+        [1, 1, 2, 2, 0, 3, 3],
+    ])
+    dist = np.array([
+        [3.0, 3.0, 2.9, 3.0, 0.1, 3.0, 3.0],
+        [3.0, 3.0, 2.9, 3.0, 0.1, 3.0, 3.0],
+    ], np.float32)
+    # make 3 touch 2 through the low corridor so a 3<->2 saddle exists
+    labels[0, 4] = 3
+    out = merge_shallow_ridges(labels, dist, merge_frac=0.7)
+    assert out[0, 0] == out[0, 2]      # 1 and 2 merged
+    assert out[0, 5] != out[0, 0]      # 3 stays separate

@@ -125,6 +125,10 @@ def cmd_train(args) -> int:
         data_kw["augment"] = False
     if args.standardize:
         data_kw["standardize"] = True
+    for aug in ("aug_gamma", "aug_illum", "aug_noise"):
+        v = getattr(args, aug)
+        if v is not None:
+            data_kw[aug] = v
     train_kw = {}
     for flag, name in [
         ("epochs", "num_epochs"), ("batch_size", "batch_size"),
@@ -309,7 +313,12 @@ def cmd_evaluate(args) -> int:
     cfg = _load_config(args)
     data_root = args.data_root or cfg.data.data_root
     sequences = args.sequences or [cfg.data.sequence]
-    pred = _make_predictor(args, cfg, cfg.infer)
+    # images are loaded raw [0,1]; if training standardized (on device, see
+    # ops/intensity.standardize_batch) the predictor must match
+    icfg = dataclasses.replace(
+        cfg.infer, standardize=cfg.infer.standardize or cfg.data.standardize
+    )
+    pred = _make_predictor(args, cfg, icfg)
     ious: List[float] = []
     dices: List[float] = []
     rands: List[float] = []
@@ -514,6 +523,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--cosine", action="store_true", help="cosine lr decay")
     sp.add_argument("--standardize", action="store_true",
                     help="per-frame z-score input standardization")
+    sp.add_argument("--aug-gamma", dest="aug_gamma", type=float, default=None,
+                    help="log-range of per-item random gamma (0 disables)")
+    sp.add_argument("--aug-illum", dest="aug_illum", type=float, default=None,
+                    help="strength of low-frequency multiplicative "
+                         "illumination-field augmentation (0 disables)")
+    sp.add_argument("--aug-noise", dest="aug_noise", type=float, default=None,
+                    help="max additive Gaussian noise std (0 disables)")
     sp.add_argument("--three-class", dest="three_class", action="store_true",
                     help="train background/interior/border (touching-cell separation)")
     sp.add_argument("--max-steps", type=int, default=None)

@@ -51,7 +51,14 @@ class DataConfig:
     image_size: int = 512            # training / predict resize target
     # Per-frame z-score standardization (absent from the reference, whose
     # two sequences differ in illumination; see docs/ROADMAP.md item 1).
+    # Applied on device inside the train/eval steps, AFTER photometric
+    # augmentation (z-scoring first would make gamma ill-defined).
     standardize: bool = False
+    # Photometric augmentation (ops/intensity.py; extension over the
+    # reference's elastic-only augmentation — 0.0 disables each stage).
+    aug_gamma: float = 0.0           # log-range of per-item random gamma
+    aug_illum: float = 0.0           # low-freq multiplicative illumination
+    aug_noise: float = 0.0           # max additive Gaussian noise std
 
 
 @dataclass(frozen=True)

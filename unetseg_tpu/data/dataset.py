@@ -78,9 +78,10 @@ class HeLaArrays:
             )
         imgs, masks, wmaps = [], [], []
         for t in triplets:
+            # images stay in [0, 1]; DataConfig.standardize is applied on
+            # device inside the train/eval steps AFTER photometric
+            # augmentation (ops/intensity.py) — gamma needs the [0,1] domain
             img = _load_image_01(t.image, image_size)
-            if cfg.standardize:
-                img = (img - img.mean()) / max(float(img.std()), 1e-6)
             imgs.append(img)
             m = read_image(t.mask).astype(np.int32)
             masks.append(m)

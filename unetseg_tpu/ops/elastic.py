@@ -143,6 +143,18 @@ def displacement_pad(alpha: float, sigma: float) -> int:
     return int(math.ceil(min(8.0 * sd, float(alpha)))) + 1
 
 
+def _use_pallas_sampler(h: int, w: int, d: int) -> bool:
+    """The Pallas resampler needs TPU + block-divisible shapes; anything
+    else (CPU tests, odd sizes) takes the XLA gather path."""
+    import os
+
+    if os.environ.get("UNETSEG_NO_PALLAS_ELASTIC"):
+        return False
+    from unetseg_tpu.ops.pallas.elastic import BH, BW
+
+    return jax.default_backend() == "tpu" and h % BH == 0 and w % BW == 0
+
+
 @partial(jax.jit, static_argnames=("alpha", "sigma", "truncate"))
 def elastic_deform_batch(
     key: jax.Array,
@@ -156,17 +168,15 @@ def elastic_deform_batch(
     mirroring the reference's fresh seed per __getitem__
     (reference: utils/dataset.py:83-93).
 
-    TPU schedule: runtime-index gathers are the slow path, so instead of the
-    five scalar gathers a naive bilinear+nearest sampler needs (4 image taps
-    + 1 mask tap), the image and mask are packed into one (Hp, Wp, 2) f32
-    array whose borders are materialized with scipy-'reflect' indexing
-    (exact for any |displacement| <= halo, see displacement_pad), and ONE
-    lax.gather of (2, 2, 2) patches per item serves every tap: the bilinear
-    corners come from the patch and the nearest mask tap is patch[ry, rx].
-    4x fewer gather indices than the flat-take formulation it replaces
-    (which itself measured 1.7x faster than vmapped map_coordinates).
-    Numerics match the per-item path to float tolerance (bilinear) /
-    round-ties (nearest)."""
+    TPU schedule: runtime-index gathers are the slow path. On TPU with
+    block-divisible shapes the sampling runs as the Pallas matmul-resampler
+    (ops/pallas/elastic.py — windowed DMA + one-hot-matmul interpolation);
+    elsewhere it falls back to one lax.gather of (2, 2, 2) patches from a
+    reflect-materialized (Hp, Wp, 2) pack, which serves all 4 bilinear
+    image taps and the nearest mask tap at once (itself ~1.9x faster than
+    vmapped map_coordinates). Both paths clamp coordinates into the
+    displacement_pad halo and match the per-item path to float tolerance
+    (bilinear) / round-ties (nearest)."""
     b, h, w = images.shape
     d = displacement_pad(alpha, sigma)
     keys = jax.random.split(key, b)
@@ -179,8 +189,21 @@ def elastic_deform_batch(
     yy = jnp.clip(yy, -d, h - 1 + d - 1.001)
     xx = jnp.clip(xx, -d, w - 1 + d - 1.001)
 
-    # reflect-padded pack, built by indexed takes (valid for any halo size,
-    # unlike jnp.pad mode='reflect' which requires pad < dim)
+    if _use_pallas_sampler(h, w, d):
+        from unetseg_tpu.ops.pallas.elastic import PAD_X, PAD_Y, sample_displaced
+
+        # reflect-padded pack with an extra DMA-tile of padding per axis
+        # (window origins are tile-quantized inside the kernel)
+        rows_p = reflect_index(jnp.arange(-(d + PAD_Y), h + d + PAD_Y), h)
+        cols_p = reflect_index(jnp.arange(-(d + PAD_X), w + d + PAD_X), w)
+        pack_yx = jnp.stack(
+            [images.astype(jnp.float32), masks.astype(jnp.float32)], axis=1
+        )[:, :, rows_p[:, None], cols_p[None, :]]  # (B, 2, Hp, Wp)
+        img_d, mask_d = sample_displaced(pack_yx, yy, xx, d)
+        return img_d, mask_d.astype(masks.dtype)
+
+    # reflect-padded pack, built by indexed takes (valid for any halo
+    # size, unlike jnp.pad mode='reflect' which requires pad < dim)
     rows = reflect_index(jnp.arange(-d, h + d), h)
     cols = reflect_index(jnp.arange(-d, w + d), w)
     pack = jnp.stack(

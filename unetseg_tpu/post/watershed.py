@@ -151,18 +151,78 @@ def distance_markers(
     return markers.astype(np.uint16), dist
 
 
+def merge_shallow_ridges(
+    labels: np.ndarray, dist: np.ndarray, merge_frac: float = 0.7
+) -> np.ndarray:
+    """Merge watershed regions separated by a *shallow* ridge.
+
+    For each pair of 4-adjacent regions, the saddle height is the level at
+    which the two regions would first connect — the maximum over their
+    shared boundary of min(dist on either side); two regions are the same
+    cell — and get merged — when ``saddle >= merge_frac * min(peak_i,
+    peak_j)``: a genuine cell-cell contact is a thin neck (saddle near 0),
+    while a bumpy single cell has a saddle almost as high as its peaks.
+    This is a prominence (h-maxima-like) criterion evaluated on the final
+    watershed partition, and it directly attacks the NS (split) errors of
+    the CTC TRA measure without touching genuine separations."""
+    labels = np.asarray(labels)
+    if labels.max() < 2:
+        return labels
+    dist = np.asarray(dist, np.float32)
+    n = int(labels.max())
+    peaks = ndi.maximum(dist, labels=labels, index=np.arange(1, n + 1))
+    peaks = np.concatenate([[0.0], np.asarray(peaks, np.float32)])
+    # saddle[i, j] = max dist on the boundary between regions i and j,
+    # collected from horizontally/vertically adjacent pixel pairs
+    keys, vals = [], []
+    for a, b, d_ab in (
+        (labels[:, :-1], labels[:, 1:], np.minimum(dist[:, :-1], dist[:, 1:])),
+        (labels[:-1, :], labels[1:, :], np.minimum(dist[:-1, :], dist[1:, :])),
+    ):
+        sel = (a != b) & (a > 0) & (b > 0)
+        la, lb, dv = a[sel], b[sel], d_ab[sel]
+        lo, hi = np.minimum(la, lb), np.maximum(la, lb)
+        keys.append(lo.astype(np.int64) * (n + 1) + hi)
+        vals.append(dv)
+    key = np.concatenate(keys)
+    val = np.concatenate(vals)
+    uniq, inv = np.unique(key, return_inverse=True)
+    sad = np.zeros(len(uniq), np.float32)
+    np.maximum.at(sad, inv, val)
+    saddles = dict(zip(uniq.tolist(), sad.tolist()))
+    parent = np.arange(n + 1)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for k, saddle in saddles.items():
+        i, j = int(k // (n + 1)), int(k % (n + 1))
+        if saddle >= merge_frac * min(peaks[i], peaks[j]):
+            parent[find(i)] = find(j)
+    root = np.array([find(x) for x in range(n + 1)])
+    return root[labels]
+
+
 def get_instance_masks_watershed(
     binary_mask: np.ndarray,
     min_size: int = 15,
     marker_frac: float = 0.6,
     smooth_sigma: float = 2.0,
+    merge_saddle_frac: float = 0.0,
     backend: str = "native",
 ) -> np.ndarray:
     """Drop-in alternative to post.cc.get_instance_masks that splits merged
-    cells: distance-peak markers + watershed on -distance."""
+    cells: distance-peak markers + watershed on -distance, optionally
+    followed by shallow-ridge re-merging (merge_saddle_frac > 0, see
+    merge_shallow_ridges)."""
     binary = np.asarray(binary_mask) > 0
     markers, dist = distance_markers(binary, marker_frac, smooth_sigma)
     labels = watershed(-dist, markers, binary, backend=backend)
+    if merge_saddle_frac > 0:
+        labels = merge_shallow_ridges(labels, dist, merge_saddle_frac)
     labels = remove_small(labels.astype(np.int64), min_size)
     return relabel_sequential(labels).astype(np.uint16)
 

@@ -98,8 +98,14 @@ def train(
         donate=t_cfg.donate_state,
         three_class=three_class,
         border_boost=t_cfg.border_boost,
+        standardize=d_cfg.standardize,
+        aug_gamma=d_cfg.aug_gamma,
+        aug_illum=d_cfg.aug_illum,
+        aug_noise=d_cfg.aug_noise,
     )
-    eval_step = make_eval_step(model, three_class=three_class)
+    eval_step = make_eval_step(
+        model, three_class=three_class, standardize=d_cfg.standardize
+    )
 
     from unetseg_tpu.models.shapes import output_size
 

@@ -20,6 +20,11 @@ import jax.numpy as jnp
 
 from unetseg_tpu.models.unet import UNet
 from unetseg_tpu.ops.elastic import elastic_deform_batch
+from unetseg_tpu.ops.intensity import (
+    gaussian_noise_batch,
+    photometric_augment_batch,
+    standardize_batch,
+)
 from unetseg_tpu.ops.losses import center_crop_nhw, per_pixel_ce
 from unetseg_tpu.train.state import TrainState
 
@@ -84,11 +89,21 @@ def make_train_step(
     use_pallas_loss: bool = False,
     three_class: bool = False,
     border_boost: float = 1.0,
+    standardize: bool = False,
+    aug_gamma: float = 0.0,
+    aug_illum: float = 0.0,
+    aug_noise: float = 0.0,
 ) -> Callable:
     """Build the jitted train step.
 
     step(state, images (B,H,W) f32[0,1], masks (B,H,W) i32 instance labels,
          weights (B,H,W) f32, valid (B,) bool, key) -> (state, metrics)
+
+    Augmentation order: elastic -> photometric (gamma/illumination, [0,1]
+    domain) -> per-item standardization -> additive noise (final-input
+    units). The elastic stage consumes `key` unchanged so augment-only runs
+    reproduce earlier checkpoints bit-for-bit; the photometric/noise stages
+    fold distinct constants into the same key.
     """
 
     def step(state: TrainState, images, masks, weights, valid, key):
@@ -98,6 +113,17 @@ def make_train_step(
             # per-__getitem__ behavior (reference: utils/dataset.py:83-93).
             images, masks = elastic_deform_batch(
                 key, images, masks, alpha=elastic_alpha, sigma=elastic_sigma
+            )
+            if aug_gamma > 0 or aug_illum > 0:
+                images = photometric_augment_batch(
+                    jax.random.fold_in(key, 1), images,
+                    gamma_log=aug_gamma, illum=aug_illum,
+                )
+        if standardize:
+            images = standardize_batch(images)
+        if augment and aug_noise > 0:
+            images = gaussian_noise_batch(
+                jax.random.fold_in(key, 2), images, aug_noise
             )
         if three_class:
             targets = three_class_targets(masks)
@@ -132,12 +158,16 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_args)
 
 
-def make_eval_step(model: UNet, three_class: bool = False) -> Callable:
+def make_eval_step(
+    model: UNet, three_class: bool = False, standardize: bool = False
+) -> Callable:
     """Validation step: *unweighted* CE on cropped targets, eval-mode BN
     (reference: scripts/train.py:141-163). val_iou is always the binary
     foreground IoU (classes {1,2} count as foreground in 3-class mode)."""
 
     def step(state: TrainState, images, masks, valid):
+        if standardize:
+            images = standardize_batch(images)
         if three_class:
             targets = three_class_targets(masks)
         else:
