@@ -221,6 +221,7 @@ def cmd_predict(args) -> int:
         watershed=args.watershed,
         marker_frac=args.marker_frac,
         device_cc=args.device_cc,
+        temporal_markers=args.temporal_markers,
     )
     print(f"\nwrote {len(written)} files -> {masks_dir} , {inst_dir}")
     return 0
@@ -575,6 +576,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="model was trained with --three-class")
     sp.add_argument("--watershed", action="store_true",
                     help="split touching cells via distance-transform watershed")
+    sp.add_argument("--temporal-markers", dest="temporal_markers",
+                    action="store_true",
+                    help="watershed re-seeded from the previous frame's "
+                         "instance cores where the distance transform "
+                         "under-segments (best SEG/TRA; implies --watershed)")
     sp.add_argument("--marker-frac", dest="marker_frac", type=float, default=0.5,
                     help="watershed marker threshold as a fraction of each "
                          "component's distance maximum")

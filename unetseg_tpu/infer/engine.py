@@ -185,6 +185,7 @@ class Predictor:
         watershed: bool = False,
         marker_frac: float = 0.5,
         device_cc: bool = False,
+        temporal_markers: bool = False,
     ) -> List[str]:
         """Predict every t*.tif frame -> mask{NNN}.tif + m{NNN}.tif
         (reference: scripts/predict.py:57-116). With `tiled=True` frames keep
@@ -205,8 +206,14 @@ class Predictor:
                 "device_cc applies to the batched binary path only "
                 "(tiled and 3-class predictions post-process on host)"
             )
+        if temporal_markers and device_cc:
+            raise ValueError(
+                "temporal_markers re-seeds the host watershed from the "
+                "previous frame and is incompatible with device_cc"
+            )
         bs = batch_size or self.cfg.tile_batch
         written: List[str] = []
+        prev_inst: Optional[np.ndarray] = None  # temporal-marker state
         size = None if tiled else self.cfg.image_size
         for start in range(0, len(frames), bs):
             chunk = frames[start : start + bs]
@@ -259,6 +266,18 @@ class Predictor:
                     inst = expand_markers(
                         b, inter, min_size=self.cfg.min_cell_size
                     )
+                elif temporal_markers:
+                    # split under-segmented components with the previous
+                    # frame's instance cores (post/temporal.py; the big NS
+                    # reduction — docs/RESULTS.md)
+                    from unetseg_tpu.post.temporal import temporal_instance_masks
+
+                    inst = temporal_instance_masks(
+                        b, prev_inst,
+                        min_size=self.cfg.min_cell_size,
+                        marker_frac=marker_frac,
+                    )
+                    prev_inst = inst
                 elif watershed:
                     from unetseg_tpu.post.watershed import get_instance_masks_watershed
 

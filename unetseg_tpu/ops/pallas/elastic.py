@@ -9,23 +9,28 @@ the whole train step. This kernel reformulates the gather as dense matmuls:
 - The displacement field is *smooth* (a sigma=20 Gaussian blur), so over a
   (32, 128) output block the sampled coordinates span a bounded window of
   the source image. The host side computes each block's window origin (the
-  floor of the block's min coordinate) and the kernel DMAs just that
-  (2, WIN_H, WIN_W) window from HBM — img and mask channels. WIN_W is a
-  multiple of 128 because TPU DMA slices on the minor (lane) dimension must
-  be lane-tile aligned.
-- Column (x) interpolation runs as ONE-HOT MATMUL on the MXU: weights
-  Wc[c, p] = max(0, 1 - |c - rel_x[p]|) have <=2 nonzeros per pixel column,
-  and win (WIN_H, WIN_W) @ Wc (WIN_W, 128) -> (WIN_H, 128). Row (y)
-  interpolation is the same weight pattern applied elementwise followed by
-  a sublane reduction. All layouts are natural — no in-kernel transposes.
+  floor of the block's min coordinate, quantized to the (8, 128) DMA tile
+  grid) and the kernel DMAs just that (2, WIN_H, WIN_W) window from HBM.
+- The block's 4096 pixels ride the LANE axis (the caller pre-flattens the
+  coordinate arrays to (..., BH*BW) so no in-kernel reshapes are needed)
+  and are processed in 1024-lane chunks: column (x) interpolation is a
+  ONE-HOT MATMUL win (WIN_H, WIN_W) @ Wc (WIN_W, 1024) on the MXU, where
+  Wc[c, p] = max(0, 1 - |c - rel_x[p]|) has <=2 nonzeros per pixel; row
+  (y) interpolation applies the same weight pattern elementwise followed
+  by a sublane reduction.
 - The nearest (mask) tap uses exact 0/1 one-hot weights, so integer labels
-  are reproduced exactly.
+  are reproduced exactly; rounding happens on the absolute coordinate
+  before the window offset is added, keeping half-tie behavior identical
+  to the gather path.
 
-Exactness: identical taps and weights to the XLA gather path whenever the
-in-block coordinate range fits the static window (RANGE_Y/RANGE_X ~ 150/126
-px vs ~84 px empirical max for the alpha=2000/sigma=20 defaults); beyond
-that the coordinates clamp to the window edge — the same astronomically-
-rare tail handling as ops.elastic.displacement_pad.
+Numerics: the MXU multiplies in bf16 (default precision), so sampled image
+values differ from the f32 gather path by ~4e-3 — irrelevant for an
+augmentation stage whose input is random deformation; masks are exact.
+Exactness of tap selection holds whenever the in-block coordinate range
+fits the static window (RANGE_Y ~150 px vs ~84 px empirical max for the
+alpha=2000/sigma=20 defaults); beyond that coordinates clamp to the window
+edge — the same astronomically-rare tail handling as
+ops.elastic.displacement_pad.
 """
 
 from __future__ import annotations
@@ -37,11 +42,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# output block (sublane x lane) and static in-block displacement-range halos.
-# Window origins are quantized to the pack's (8, 128) tile grid — TPU DMA
-# slice offsets must be provably tile-aligned — so each window carries up to
-# one extra tile of slack on each axis.
+# output block (BH rows x BW cols); its BH*BW pixels are laid out as
+# (P_SUB, CHUNK) = (8, 512) — Pallas TPU block shapes need the trailing
+# dims divisible by (8, 128) — and processed one 512-lane chunk (4 output
+# rows) per matmul
 BH, BW = 32, 128
+P_SUB, CHUNK = 8, 512
+# static halos; window origins are quantized to the pack's (8, 128) tile
+# grid, so each window carries up to one extra tile of slack per axis
 RANGE_Y = 150
 WIN_H = BH + RANGE_Y + 2 + 8          # 192
 WIN_W = BW + 126 + 2 + 128            # 384 (three 128-lane tiles)
@@ -55,7 +63,6 @@ def _kernel(offs_ref, yy_ref, xx_ref, pack_ref, img_ref, mask_ref,
     bx = pl.program_id(2)
     ys = pl.multiple_of(offs_ref[b, by, bx, 0], 8)
     xs = pl.multiple_of(offs_ref[b, by, bx, 1], 128)
-    # window DMA: (2, win_h, win_w) slice of the padded y-major pack
     dma = pltpu.make_async_copy(
         pack_ref.at[b, :, pl.ds(ys, win_h), pl.ds(xs, win_w)], win_ref, sem
     )
@@ -64,33 +71,32 @@ def _kernel(offs_ref, yy_ref, xx_ref, pack_ref, img_ref, mask_ref,
 
     off_y = (dy - ys).astype(jnp.float32)
     off_x = (dx - xs).astype(jnp.float32)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (win_h, BW), 0).astype(jnp.float32)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (win_w, BW), 0).astype(jnp.float32)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (win_h, CHUNK), 0).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (win_w, CHUNK), 0).astype(jnp.float32)
     win_img = win_ref[0]
     win_mask = win_ref[1]
 
-    def row(r, carry):
-        ya = yy_ref[0, pl.ds(r, 1), :]
-        xa = xx_ref[0, pl.ds(r, 1), :]
+    for c in range(P_SUB):
+        ya = yy_ref[0, 0, 0, pl.ds(c, 1), :]
+        xa = xx_ref[0, 0, 0, pl.ds(c, 1), :]
         ry = jnp.clip(ya + off_y, 0.0, win_h - 1.001)
         rx = jnp.clip(xa + off_x, 0.0, win_w - 1.001)
         # bilinear: |iota - rel| < 1 picks floor/ceil taps with (1-t, t)
-        w_col = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w - rx))   # (win_w, BW)
+        w_col = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w - rx))   # (win_w, CHUNK)
         tmp = jnp.dot(win_img, w_col, preferred_element_type=jnp.float32)
-        w_row = jnp.maximum(0.0, 1.0 - jnp.abs(iota_h - ry))   # (win_h, BW)
-        img_ref[0, pl.ds(r, 1), :] = jnp.sum(tmp * w_row, axis=0, keepdims=True)
-        # nearest: exact 0/1 one-hot. Round the ABSOLUTE coordinate first and
-        # add the (integer-valued) window offset after — f32 addition before
-        # rounding could shift half-ties, diverging from the gather path.
+        w_row = jnp.maximum(0.0, 1.0 - jnp.abs(iota_h - ry))   # (win_h, CHUNK)
+        img_ref[0, 0, 0, pl.ds(c, 1), :] = jnp.sum(
+            tmp * w_row, axis=0, keepdims=True
+        )
+        # nearest: exact 0/1 one-hot at the (absolute-rounded) coordinate
         rnx = jnp.clip(jnp.round(xa) + off_x, 0.0, win_w - 1.0)
         w_coln = (iota_w == rnx).astype(jnp.float32)
         tmpn = jnp.dot(win_mask, w_coln, preferred_element_type=jnp.float32)
         rny = jnp.clip(jnp.round(ya) + off_y, 0.0, win_h - 1.0)
         w_rown = (iota_h == rny).astype(jnp.float32)
-        mask_ref[0, pl.ds(r, 1), :] = jnp.sum(tmpn * w_rown, axis=0, keepdims=True)
-        return carry
-
-    jax.lax.fori_loop(0, BH, row, 0)
+        mask_ref[0, 0, 0, pl.ds(c, 1), :] = jnp.sum(
+            tmpn * w_rown, axis=0, keepdims=True
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("d", "interpret"))
@@ -115,12 +121,19 @@ def sample_displaced(pack: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray,
     win_w = min(WIN_W, (wp // 128) * 128)
     nby, nbx = h // BH, w // BW
 
-    by_min = jnp.floor(
-        yy.reshape(b, nby, BH, nbx, BW).min(axis=(2, 4))
-    ).astype(jnp.int32) + dy
-    bx_min = jnp.floor(
-        xx.reshape(b, nby, BH, nbx, BW).min(axis=(2, 4))
-    ).astype(jnp.int32) + dx
+    def to_blocks(a):
+        # (B, H, W) -> (B, nby, nbx, P_SUB, CHUNK): each (BH, BW) block's
+        # pixels laid out row-major over an (8, 512) tile
+        return (
+            a.reshape(b, nby, BH, nbx, BW)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(b, nby, nbx, P_SUB, CHUNK)
+        )
+
+    yyb = to_blocks(yy)
+    xxb = to_blocks(xx)
+    by_min = jnp.floor(yyb.min(axis=(-2, -1))).astype(jnp.int32) + dy
+    bx_min = jnp.floor(xxb.min(axis=(-2, -1))).astype(jnp.int32) + dx
     # quantize window origins to the (8, 128) tile grid of the pack
     ys = jnp.clip((by_min // 8) * 8, 0, ((hp - win_h) // 8) * 8)
     xs = jnp.clip((bx_min // 128) * 128, 0, ((wp - win_w) // 128) * 128)
@@ -130,7 +143,7 @@ def sample_displaced(pack: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray,
         _kernel, dy=dy, dx=dx, win_h=win_h, win_w=win_w
     )
     blk = pl.BlockSpec(
-        (1, BH, BW), lambda bb, yb, xb: (bb, yb, xb),
+        (1, 1, 1, P_SUB, CHUNK), lambda bb, yb, xb: (bb, yb, xb, 0, 0),
         memory_space=pltpu.VMEM,
     )
     img, mask = pl.pallas_call(
@@ -138,19 +151,27 @@ def sample_displaced(pack: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray,
         grid=(b, nby, nbx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # offs
-            blk,                                     # yy
+            blk,                                     # yy (blocked lanes)
             blk,                                     # xx
             pl.BlockSpec(memory_space=pltpu.ANY),    # pack (stays off-VMEM)
         ],
         out_specs=(blk, blk),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, nby, nbx, P_SUB, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((b, nby, nbx, P_SUB, CHUNK), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, win_h, win_w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(offs, yy, xx, pack)
-    return img, mask
+    )(offs, yyb, xxb, pack)
+
+    def from_blocks(a):
+        return (
+            a.reshape(b, nby, nbx, BH, BW)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(b, h, w)
+        )
+
+    return from_blocks(img), from_blocks(mask)

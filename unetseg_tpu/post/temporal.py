@@ -1,0 +1,91 @@
+"""Temporal-marker watershed: split under-segmented frames with yesterday's
+instances.
+
+The dominant residual error of distance-transform watershed on DIC-C2DH-HeLa
+is under-segmentation (CTC "NS" splits): two touching cells whose contact is
+wide have a single distance peak, so no marker-threshold can separate them —
+the boundary is simply invisible to the distance transform. But cells move
+slowly between frames (the tracker matches at IoU >= 0.3), so the PREVIOUS
+frame's instance map knows where the boundary was. Whenever one current
+foreground component substantially overlaps more previous instances than the
+distance markers would split it into, the watershed for that component is
+re-seeded from the previous instances' cores instead.
+
+Measured on round-2 predictions (84 frames x 2 sequences) against plain
+distance-marker watershed: NS 63->26 / 128->32, SEG 0.859->0.879 /
+0.739->0.842, TRA 0.927->0.951 / 0.836->0.906 (docs/RESULTS.md).
+
+The reference has no equivalent — its post-processing is connected
+components + small-object removal only (reference: utils/metrics.py:42).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from scipy import ndimage as ndi
+
+from unetseg_tpu.post.cc import label_components, relabel_sequential, remove_small
+from unetseg_tpu.post.watershed import distance_markers, watershed
+
+
+def instance_cores(inst: np.ndarray, core_frac: float = 0.5) -> np.ndarray:
+    """Per-instance cores: pixels whose in-instance distance transform
+    exceeds core_frac of that instance's maximum. Used as next-frame
+    watershed seeds — cores are robust to small cell motion."""
+    inst = np.asarray(inst)
+    if inst.max() == 0:
+        return np.zeros_like(inst, bool)
+    dist = ndi.distance_transform_edt(inst > 0).astype(np.float32)
+    mx = ndi.maximum(dist, labels=inst, index=np.arange(1, inst.max() + 1))
+    thr = np.zeros(inst.max() + 1, np.float32)
+    thr[1:] = np.asarray(mx, np.float32) * core_frac
+    return (dist >= thr[inst]) & (inst > 0)
+
+
+def temporal_instance_masks(
+    binary_mask: np.ndarray,
+    prev_inst: Optional[np.ndarray],
+    min_size: int = 1500,
+    marker_frac: float = 0.5,
+    smooth_sigma: float = 2.0,
+    core_frac: float = 0.5,
+    min_overlap: int = 500,
+    backend: str = "native",
+) -> np.ndarray:
+    """Instances for one frame; `prev_inst` is the previous frame's result
+    (None for the first frame — then identical to
+    get_instance_masks_watershed)."""
+    binary = np.asarray(binary_mask) > 0
+    markers, dist = distance_markers(binary, marker_frac, smooth_sigma)
+    labels = watershed(-dist, markers, binary, backend=backend)
+    if prev_inst is not None and prev_inst.max() > 0:
+        prev_inst = np.asarray(prev_inst)
+        comp, n = label_components(binary)
+        cores = instance_cores(prev_inst, core_frac)
+        for ci in range(1, n + 1):
+            region = comp == ci
+            overl = np.bincount((prev_inst * region).ravel())
+            prev_ids = [
+                i for i in range(1, len(overl)) if overl[i] >= min_overlap
+            ]
+            cur_ids = np.unique(labels[region])
+            cur_ids = cur_ids[cur_ids > 0]
+            if len(prev_ids) >= 2 and len(prev_ids) > len(cur_ids):
+                seed = np.where(
+                    region & cores & np.isin(prev_inst, prev_ids),
+                    prev_inst, 0,
+                ).astype(np.uint16)
+                if len(np.unique(seed)) - 1 >= 2:
+                    sub = watershed(
+                        -dist, seed, region.astype(np.uint8), backend=backend
+                    )
+                    base = int(labels.max())
+                    labels = np.where(
+                        region & (sub > 0),
+                        sub.astype(np.int64) + base,
+                        labels,
+                    ).astype(np.uint16)
+    labels = remove_small(labels.astype(np.int64), min_size)
+    return relabel_sequential(labels).astype(np.uint16)
