@@ -221,7 +221,7 @@ def cmd_predict(args) -> int:
         watershed=args.watershed,
         marker_frac=args.marker_frac,
         device_cc=args.device_cc,
-        temporal_markers=args.temporal_markers,
+        temporal_markers=args.temporal_markers or icfg.temporal_markers,
     )
     print(f"\nwrote {len(written)} files -> {masks_dir} , {inst_dir}")
     return 0

@@ -115,6 +115,12 @@ class InferConfig:
     min_cell_size: int = 15          # scripts/predict.py:47
     tile_input: int = 512            # overlap-tile input tile size
     tile_batch: int = 8              # tiles per device batch
+    # Temporal-marker watershed for predict (post/temporal.py): re-seed the
+    # watershed from the previous frame's instance cores where the distance
+    # transform under-segments. The measured-best instance pipeline
+    # (docs/RESULTS.md round 2); off here for reference-parity defaults,
+    # on in configs/best_recipe.json.
+    temporal_markers: bool = False
 
 
 @dataclass(frozen=True)
