@@ -532,7 +532,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--aug-noise", dest="aug_noise", type=float, default=None,
                     help="max additive Gaussian noise std (0 disables)")
     sp.add_argument("--three-class", dest="three_class", action="store_true",
-                    help="train background/interior/border (touching-cell separation)")
+                    help="EXPERIMENTAL: train background/interior/border; "
+                         "measured below binary+watershed on this dataset "
+                         "(docs/RESULTS.md) — prefer predict "
+                         "--temporal-markers for touching-cell separation")
     sp.add_argument("--max-steps", type=int, default=None)
     sp.add_argument("--classes", type=int, default=None)
     sp.add_argument("--bilinear", action="store_true")
