@@ -51,32 +51,34 @@ def _shadow_dtype(tree, dtype):
     )
 
 
-def _device_copy(tree):
-    """Fresh device buffers for an async-save payload. The train step runs
-    with donate_argnums, so the NEXT step deletes the current state's
-    buffers while Orbax's background writer may still be reading them
-    ("Array has been deleted" mid-save); an on-device copy (~0.5 ms for the
-    full flagship state) decouples the payload's lifetime from the loop."""
-    return jax.tree.map(
-        lambda a: jnp.copy(a) if isinstance(a, jax.Array) else a, tree
-    )
+def _host_payload(tree):
+    """Synchronous device->host fetch of a save payload.
+
+    Orbax's background serialization reads the arrays *after* `save`
+    returns; the train step runs with donate_argnums, so the next step
+    deletes those buffers ("Array has been deleted" mid-save), and through
+    the remote-TPU tunnel the deferred D2H has also been observed to
+    deadlock the async commit thread outright (a lingering
+    `N.orbax-checkpoint-tmp` and a stalled loop). Fetching up front hands
+    Orbax plain host numpy — the disk write still happens asynchronously,
+    but nothing background touches the device."""
+    return jax.device_get(tree)
 
 
 def _light_payload(state: TrainState) -> Dict[str, Any]:
-    return {
-        # astype(bf16) already materializes fresh buffers for the params
+    return _host_payload({
         "params": _shadow_dtype(state.params, jnp.bfloat16),
-        "batch_stats": _device_copy(state.batch_stats),
-    }
+        "batch_stats": state.batch_stats,
+    })
 
 
 def _full_payload(state: TrainState) -> Dict[str, Any]:
-    return {
-        "params": _device_copy(state.params),
-        "batch_stats": _device_copy(state.batch_stats),
-        "opt_state": _device_copy(state.opt_state),
+    return _host_payload({
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
         "step": np.asarray(state.step),
-    }
+    })
 
 
 class Checkpointer:
