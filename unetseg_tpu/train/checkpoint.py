@@ -65,7 +65,13 @@ def _host_payload(tree):
     return jax.device_get(tree)
 
 
-def _light_payload(state: TrainState) -> Dict[str, Any]:
+def light_payload(state: TrainState) -> Dict[str, Any]:
+    """Host-materialized light payload (bf16 params shadow + BN stats).
+
+    Build this while the state's buffers are still alive: the train step
+    donates its input state, so holding a `TrainState` across a later step
+    (e.g. a pending-best awaiting its save cooldown) leaves deleted device
+    buffers behind — reads then crash or, through the remote tunnel, hang."""
     return _host_payload({
         "params": _shadow_dtype(state.params, jnp.bfloat16),
         "batch_stats": state.batch_stats,
@@ -101,10 +107,21 @@ class Checkpointer:
         extra: Optional[Dict[str, Any]] = None,
     ) -> None:
         """Light best-k save (bf16 params + BN stats): the inference artifact."""
+        self.save_light_payload(light_payload(state), epoch, val_loss, extra)
+
+    def save_light_payload(
+        self,
+        payload: Dict[str, Any],
+        epoch: int,
+        val_loss: float,
+        extra: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        """Save an already host-materialized light_payload() (the
+        donation-safe form for deferred saves)."""
         self._mgr.save(
             epoch,
             args=ocp.args.Composite(
-                state=ocp.args.StandardSave(_light_payload(state)),
+                state=ocp.args.StandardSave(payload),
                 extra=ocp.args.JsonSave(extra or {}),
             ),
             metrics={"val_loss": float(val_loss)},

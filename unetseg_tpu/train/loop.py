@@ -207,7 +207,13 @@ def train(
             best_epoch = epoch
             # Hold the best state until the save cooldown allows a write, so
             # a best inside the cooldown window is never silently dropped.
-            pending_best = (state, epoch, val_loss)
+            # Materialized to host NOW: the next step donates (deletes) this
+            # state's device buffers (see checkpoint.light_payload).
+            pending_best = (
+                ckpt.light_payload(state) if t_cfg.save_checkpoint else None,
+                epoch,
+                val_loss,
+            )
         if pending_best is not None and checkpointer is not None:
             due = (
                 epoch - last_saved_epoch >= t_cfg.checkpoint_min_interval
@@ -215,9 +221,9 @@ def train(
                 or done
             )
             if due:
-                b_state, b_epoch, b_loss = pending_best
-                checkpointer.save(
-                    b_state, b_epoch, b_loss, extra={"config": cfg.to_dict()}
+                b_payload, b_epoch, b_loss = pending_best
+                checkpointer.save_light_payload(
+                    b_payload, b_epoch, b_loss, extra={"config": cfg.to_dict()}
                 )
                 last_saved_epoch = epoch
                 pending_best = None
