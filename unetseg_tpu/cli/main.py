@@ -164,6 +164,20 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _infer_overrides(args) -> dict:
+    """InferConfig overrides from EXPLICIT CLI flags only. Flag *defaults*
+    must never clobber a --config file's values (a default min_cell_size=15
+    once silently overrode a recipe's 1000 and standardize=true, producing
+    all-background tiled predictions); numeric flags default to None and
+    boolean flags use store_const(True), so absent flags stay absent."""
+    out = {}
+    for name in ("threshold", "min_cell_size", "normalize", "standardize"):
+        v = getattr(args, name, None)
+        if v is not None:
+            out[name] = v
+    return out
+
+
 # --------------------------------------------------------------------- infer
 def cmd_infer(args) -> int:
     from PIL import Image
@@ -171,11 +185,7 @@ def cmd_infer(args) -> int:
     from unetseg_tpu.infer.engine import Predictor, load_image_01
 
     cfg = _load_config(args)
-    icfg = dataclasses.replace(
-        cfg.infer,
-        threshold=args.threshold,
-        normalize=args.normalize,
-    )
+    icfg = dataclasses.replace(cfg.infer, **_infer_overrides(args))
     pred = _make_predictor(args, cfg, icfg)
     if args.tiled:
         image = load_image_01(args.input, None)
@@ -198,13 +208,7 @@ def cmd_predict(args) -> int:
     cfg = _load_config(args)
     data_root = args.data_root or cfg.data.data_root
     sequence = args.sequence or cfg.data.sequence
-    icfg = dataclasses.replace(
-        cfg.infer,
-        threshold=args.threshold,
-        min_cell_size=args.min_cell_size,
-        normalize=args.normalize,
-        standardize=args.standardize,
-    )
+    icfg = dataclasses.replace(cfg.infer, **_infer_overrides(args))
     pred = _make_predictor(args, cfg, icfg)
     masks_dir, inst_dir = prediction_dirs(data_root, sequence)
     if args.output_dir:
@@ -549,9 +553,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", default=None)
     sp.add_argument("--epoch", type=int, default=None)
-    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--threshold", type=float, default=None)
     sp.add_argument("--tiled", action="store_true", help="overlap-tile full resolution")
-    sp.add_argument("--normalize", action="store_true",
+    sp.add_argument("--normalize", action="store_const", const=True, default=None,
                     help="apply Normalize(0.5,0.5) like the reference's predict.py "
                          "(its training does not normalize - documented skew)")
     sp.add_argument("--classes", type=int, default=None)
@@ -567,13 +571,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sequence", default=None)
     sp.add_argument("--output-dir", default=None)
     sp.add_argument("--epoch", type=int, default=None)
-    sp.add_argument("--threshold", type=float, default=0.5)
-    sp.add_argument("--min-cell-size", dest="min_cell_size", type=int, default=15)
+    sp.add_argument("--threshold", type=float, default=None)
+    sp.add_argument("--min-cell-size", dest="min_cell_size", type=int, default=None)
     sp.add_argument("--batch-size", dest="batch_size", type=int, default=None)
     sp.add_argument("--tiled", action="store_true")
-    sp.add_argument("--normalize", action="store_true",
+    sp.add_argument("--normalize", action="store_const", const=True, default=None,
                     help="apply Normalize(0.5,0.5) like the reference's predict.py")
-    sp.add_argument("--standardize", action="store_true",
+    sp.add_argument("--standardize", action="store_const", const=True, default=None,
                     help="per-frame z-score (must match training)")
     sp.add_argument("--three-class", dest="three_class", action="store_true",
                     help="model was trained with --three-class")
