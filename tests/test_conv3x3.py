@@ -1,0 +1,82 @@
+"""Pallas fused 3x3 conv (ops/pallas/conv3x3.py): interpret-mode parity with
+lax.conv + the folded-model lanes path. Native speed is measured on TPU
+(docs/PARITY.md): 1.76 ms vs XLA's 4.61 ms on the enc0b shape isolated;
+in-context it ships off by default (boundary transposes dominate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unetseg_tpu.ops.pallas.conv3x3 import (
+    conv3x3_nhwc,
+    double_conv_lanes,
+    from_lanes,
+    lane_stride,
+    to_lanes,
+)
+
+
+def _ref_conv(x, w, bias=0.0, scale=1.0, relu=True):
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) * scale + bias
+    return jnp.maximum(y, 0) if relu else y
+
+
+def test_single_conv_matches_lax():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 20, 132, 8).astype(np.float32))
+    w = jnp.asarray(rs.rand(3, 3, 8, 16).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rs.rand(16).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rs.rand(16).astype(np.float32) - 0.5)
+    ref = _ref_conv(x, w, bias, scale)
+    out = conv3x3_nhwc(x, w, scale, bias, relu=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_stem_ci1_padding():
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.rand(1, 12, 140, 1).astype(np.float32))
+    w = jnp.asarray(rs.rand(3, 3, 1, 8).astype(np.float32))
+    ref = _ref_conv(x, w, relu=False)
+    out = conv3x3_nhwc(x, w, relu=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_double_conv_matches_two_lax_convs():
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.rand(2, 20, 133, 3).astype(np.float32))  # odd width
+    w0 = jnp.asarray(rs.rand(3, 3, 3, 16).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rs.rand(3, 3, 16, 16).astype(np.float32) * 0.1)
+    b0 = jnp.asarray(rs.rand(16).astype(np.float32))
+    b1 = jnp.asarray(rs.rand(16).astype(np.float32))
+    ref = _ref_conv(_ref_conv(x, w0, b0), w1, b1)
+    out = double_conv_lanes(x, w0, b0, w1, b1, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_lanes_roundtrip():
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.rand(3, 7, 200, 8).astype(np.float32))
+    back = from_lanes(to_lanes(x), 3, 200)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    assert lane_stride(200) == 256
+
+
+def test_folded_unet_lanes_path_runs():
+    """Tiny folded net through the lanes path (interpret via CPU? — the
+    lanes kernel needs Mosaic, so on CPU suites this exercises only the
+    wiring with use_lanes=False; full-width TPU parity is checked in the
+    slow/native validation, docs/PARITY.md)."""
+    from unetseg_tpu.core.config import ModelConfig
+    from unetseg_tpu.infer.folding import fold_batchnorm
+    from unetseg_tpu.models.unet import UNet, init_unet
+
+    cfg = ModelConfig(base_features=4, compute_dtype="float32")
+    model = UNet(cfg=cfg)
+    v = init_unet(model, jax.random.key(0), input_size=188)
+    fm, fv = fold_batchnorm(cfg, v)  # auto -> False off-TPU
+    assert fm.use_lanes is False
+    y = fm.apply(fv, jnp.zeros((1, 188, 188, 1)))
+    assert y.shape == (1, 4, 4, 2)

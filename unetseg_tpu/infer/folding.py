@@ -16,7 +16,7 @@ tolerance in tests/test_folding.py.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,15 +64,47 @@ class PackableConv3x3(nn.Module):
         return y + bias.astype(self.compute_dtype)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only conv submodule: keeps the folded param tree identical
+    (enc0/conv0/kernel, ...) while the fused lanes path executes outside the
+    per-conv module structure."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
 class FoldedDoubleConv(nn.Module):
-    """(valid 3x3 conv -> ReLU) x2 — BN already folded into the weights."""
+    """(valid 3x3 conv -> ReLU) x2 — BN already folded into the weights.
+
+    With use_lanes (TPU), low-channel stages run as the Pallas fused
+    conv+bias+ReLU kernel in the (H, C, B*W) lanes layout with a single
+    layout round-trip for the whole block (ops/pallas/conv3x3.py) — XLA's
+    own lowering of these convs is data-formatting-bound (2.6x slower,
+    docs/PARITY.md)."""
 
     features: int
     compute_dtype: Any = jnp.bfloat16
     use_packed: bool = False
+    use_lanes: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_lanes and self.features <= 64:
+            from unetseg_tpu.ops.pallas.conv3x3 import double_conv_lanes
+
+            k0, b0 = _ConvParams(self.features, name="conv0")(x.shape[-1])
+            k1, b1 = _ConvParams(self.features, name="conv1")(self.features)
+            return double_conv_lanes(
+                x.astype(self.compute_dtype), k0, b0, k1, b1
+            )
         for i in range(2):
             x = PackableConv3x3(
                 self.features, compute_dtype=self.compute_dtype,
@@ -87,6 +119,7 @@ class FoldedUNet(nn.Module):
 
     cfg: ModelConfig = ModelConfig()
     use_packed: bool = False
+    use_lanes: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -101,7 +134,7 @@ class FoldedUNet(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             x = FoldedDoubleConv(
                 f, compute_dtype=dtype, use_packed=self.use_packed,
-                name=f"enc{lvl}",
+                use_lanes=self.use_lanes, name=f"enc{lvl}",
             )(x)
             skips.append(x)
 
@@ -119,7 +152,7 @@ class FoldedUNet(nn.Module):
             x = jnp.concatenate([skip_c, x.astype(dtype)], axis=-1)
             x = FoldedDoubleConv(
                 skip.shape[-1], compute_dtype=dtype, use_packed=self.use_packed,
-                name=f"dec{i}",
+                use_lanes=self.use_lanes, name=f"dec{i}",
             )(x)
 
         return nn.Conv(
@@ -146,8 +179,23 @@ def fold_batchnorm(
     model_cfg: ModelConfig,
     variables: Dict[str, Any],
     use_packed: bool = False,
+    use_lanes: Optional[bool] = None,
 ) -> Tuple[FoldedUNet, Dict[str, Any]]:
-    """(FoldedUNet, folded variables) from a trained model's variables."""
+    """(FoldedUNet, folded variables) from a trained model's variables.
+
+    use_lanes opts into the Pallas lanes conv kernel (TPU only). Isolated it
+    is 2.6x faster than XLA's C=64 conv (1.76 vs 4.61 ms on the enc0b
+    shape), but in the full tiled-inference program the NHWC<->lanes
+    boundary transposes cost more than the kernel saves (32.6 -> 18-20
+    MPix/s measured), so it ships OFF; the round-3 route is keeping the
+    whole network in the lanes layout. UNETSEG_PALLAS_CONV=1 forces it on."""
+    if use_lanes is None:
+        import os
+
+        use_lanes = (
+            jax.default_backend() == "tpu"
+            and bool(os.environ.get("UNETSEG_PALLAS_CONV"))
+        )
     params = variables["params"]
     stats = variables["batch_stats"]
     eps = model_cfg.bn_epsilon
@@ -157,4 +205,7 @@ def fold_batchnorm(
             folded[name] = _fold_block(block, stats[name], eps)
         else:  # outc, up{i}_tconv — no BN attached
             folded[name] = block
-    return FoldedUNet(cfg=model_cfg, use_packed=use_packed), {"params": folded}
+    return (
+        FoldedUNet(cfg=model_cfg, use_packed=use_packed, use_lanes=use_lanes),
+        {"params": folded},
+    )

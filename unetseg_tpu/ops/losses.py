@@ -37,6 +37,14 @@ def per_pixel_ce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """
     logits = logits.astype(jnp.float32)
     logz = jax.nn.log_softmax(logits, axis=-1)
+    c = logits.shape[-1]
+    if c <= 8:
+        # one-hot contraction instead of take_along_axis: the per-pixel
+        # gather lowered to ~6 ms/step on TPU (profiled), the elementwise
+        # select is free
+        t = targets[..., None].astype(jnp.int32)
+        onehot = (t == jnp.arange(c, dtype=jnp.int32)).astype(jnp.float32)
+        return -jnp.sum(logz * onehot, axis=-1)
     picked = jnp.take_along_axis(logz, targets[..., None].astype(jnp.int32), axis=-1)
     return -picked[..., 0]
 
