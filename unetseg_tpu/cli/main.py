@@ -383,6 +383,25 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+# ------------------------------------------------------- evaluate-divisions
+def cmd_evaluate_divisions(args) -> int:
+    from unetseg_tpu.metrics.divisions import division_report
+
+    r = division_report(
+        args.gt_dir, args.res_dir, res_track_path=args.res_track,
+        frame_tolerance=args.frame_tolerance,
+    )
+    out = {
+        "gt_divisions": r.n_gt, "res_divisions": r.n_res,
+        "matched": r.matched, "recall": round(r.recall, 4),
+        "precision": round(r.precision, 4),
+    }
+    if args.details:
+        out["details"] = r.details
+    print(json.dumps(out))
+    return 0
+
+
 # -------------------------------------------------------------- evaluate-ctc
 def cmd_evaluate_ctc(args) -> int:
     from unetseg_tpu.metrics import ctc
@@ -647,6 +666,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--classes", type=int, default=None)
     sp.add_argument("--bilinear", action="store_true")
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser(
+        "evaluate-divisions",
+        help="division recall/precision vs GT lineage (man_track.txt)",
+    )
+    sp.add_argument("--gt-dir", required=True, help="{seq}_GT/TRA directory")
+    sp.add_argument("--res-dir", required=True,
+                    help="CTC result dir (mask{NNN}.tif by track id)")
+    sp.add_argument("--res-track", default=None)
+    sp.add_argument("--frame-tolerance", type=int, default=2)
+    sp.add_argument("--details", action="store_true")
+    sp.set_defaults(fn=cmd_evaluate_divisions)
 
     sp = sub.add_parser("evaluate-ctc", help="official CTC SEG/TRA/DET measures")
     sp.add_argument("measure", choices=["seg", "tra", "det"])
