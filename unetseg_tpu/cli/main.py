@@ -502,6 +502,33 @@ def cmd_visualize_augmentation(args) -> int:
     return 0
 
 
+# -------------------------------------------------------------------- export
+def cmd_export(args) -> int:
+    from unetseg_tpu.infer.export import export_inference, save_exported
+
+    cfg = _load_config(args)
+    icfg = dataclasses.replace(cfg.infer, **_infer_overrides(args))
+    if args.image_size is not None:
+        icfg = dataclasses.replace(icfg, image_size=args.image_size)
+    pred = _make_predictor(args, cfg, icfg)
+    platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
+    data = export_inference(
+        pred.model.cfg,
+        {"params": pred.params, "batch_stats": pred.batch_stats},
+        infer_cfg=icfg,
+        batch=args.batch,
+        platforms=platforms,
+    )
+    out = args.output or "unetseg_serving.jaxexport"
+    save_exported(out, data)
+    batch = "symbolic" if args.batch is None else str(args.batch)
+    print(
+        f"wrote {out} ({len(data) / 1e6:.1f} MB, platforms={','.join(platforms)}, "
+        f"batch={batch}, input {icfg.image_size}x{icfg.image_size})"
+    )
+    return 0
+
+
 # --------------------------------------------------------------------- bench
 def cmd_bench(args) -> int:
     import subprocess
@@ -714,6 +741,27 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sigma", type=float, default=20.0)
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_visualize_augmentation)
+
+    sp = sub.add_parser(
+        "export",
+        help="export the folded inference forward as a portable serving "
+             "artifact (StableHLO via jax.export; weights baked in)",
+    )
+    _add_common(sp)
+    sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--torch-checkpoint", default=None)
+    sp.add_argument("--epoch", type=int, default=None)
+    sp.add_argument("--output", default=None)
+    sp.add_argument("--batch", type=int, default=None,
+                    help="pin the batch dimension (default: symbolic)")
+    sp.add_argument("--platforms", default="tpu,cpu",
+                    help="comma-separated lowering targets")
+    sp.add_argument("--image-size", type=int, default=None)
+    sp.add_argument("--normalize", action="store_const", const=True, default=None)
+    sp.add_argument("--standardize", action="store_const", const=True, default=None)
+    sp.add_argument("--classes", type=int, default=None)
+    sp.add_argument("--bilinear", action="store_true")
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("bench", help="run the performance benchmark")
     sp.set_defaults(fn=cmd_bench)
