@@ -47,12 +47,21 @@ def main() -> int:
     tile_chunk = int(os.environ.get("BENCH_TILE_CHUNK", "16"))
     lo = int(os.environ.get("BENCH_L_LO", "1"))
     hi = int(os.environ.get("BENCH_L_HI", "5"))
+    # Tile size: "auto" picks the smallest net input whose output covers the
+    # frame in ONE tile (min_tile_input) — the valid-conv margin is paid per
+    # tile, so 1x 700->516 beats 4x 512->324 by ~2.1x compute for identical
+    # full-resolution output. BENCH_TILE_IN=512 reproduces the old grid.
+    tile_env = os.environ.get("BENCH_TILE_IN", "auto")
+
+    from unetseg_tpu.infer.tiling import min_tile_input
+
+    tile_in = min_tile_input(size) if tile_env == "auto" else int(tile_env)
 
     model = UNet(cfg=ModelConfig())  # full width, bf16 policy
     variables = fast_random_variables(model, jax.random.key(0), input_size=size)
     fmodel, fvars = fold_batchnorm(ModelConfig(), variables)
 
-    grid = plan_tiles(size, size, 512)
+    grid = plan_tiles(size, size, tile_in)
     n_tiles = frames_per_call * grid.num_tiles
 
     def segment(fv, frames):

@@ -7,11 +7,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from unetseg_tpu.ops.pallas.conv3x3 import (
+    conv3x3_lanes,
     conv3x3_nhwc,
     double_conv_lanes,
     from_lanes,
     lane_stride,
+    pack_w_all,
+    pack_w_banded,
     to_lanes,
 )
 
@@ -54,6 +59,33 @@ def test_double_conv_matches_two_lax_convs():
     out = double_conv_lanes(x, w0, b0, w1, b1, interpret=True)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_pack_w_banded_rows1_is_pack_w_all():
+    rs = np.random.RandomState(4)
+    w = jnp.asarray(rs.rand(3, 3, 8, 16).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(pack_w_banded(w, 1)), np.asarray(pack_w_all(w))
+    )
+
+
+@pytest.mark.parametrize("pipelined,rows", [(False, 1), (True, 1), (True, 2)])
+def test_lanes_kernel_variants_match_lax(pipelined, rows):
+    """v1 (serial DMA, per-row dots) and v2 (double-buffered DMA, banded
+    multi-row dots) must agree with lax.conv bit-for-bit in f32."""
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.rand(2, 21, 132, 8).astype(np.float32))
+    w = jnp.asarray(rs.rand(3, 3, 8, 16).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rs.rand(16).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rs.rand(16).astype(np.float32) - 0.5)
+    ref = _ref_conv(x, w, bias[None, None, None], scale[None, None, None])
+    stride = lane_stride(132)
+    out_l = conv3x3_lanes(
+        to_lanes(x), w, scale.reshape(16, 1), bias.reshape(16, 1), stride,
+        relu=True, interpret=True, rows=rows, pipelined=pipelined,
+    )
+    out = from_lanes(out_l, 2, 130)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
 def test_lanes_roundtrip():

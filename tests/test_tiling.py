@@ -30,6 +30,20 @@ def test_plan_tiles_512_geometry():
     assert g.num_tiles == 4
 
 
+def test_min_tile_input_single_tile_cover():
+    from unetseg_tpu.infer.tiling import min_tile_input
+    from unetseg_tpu.models.shapes import output_size
+
+    t = min_tile_input(512)
+    assert t == 700 and output_size(t) == 516  # one tile covers a 512 frame
+    g = plan_tiles(512, 512, t)
+    assert (g.ny, g.nx) == (1, 1)
+    # strictly less input oversampling than the 4x 512->324 grid
+    assert t * t / (512 * 512) < 4 * 512 * 512 / (512 * 512)
+    t2 = min_tile_input(1024)
+    assert output_size(t2) >= 1024
+
+
 def test_plan_tiles_1024():
     g = plan_tiles(1024, 1024, tile_in=512)
     assert (g.ny, g.nx) == (4, 4)

@@ -1,0 +1,122 @@
+"""Per-op device-time attribution of the folded full-width forward
+(in-context, batch 16 tiles) via jax.profiler.trace.
+
+Parses the trace.json.gz device plane directly (tf_op / hlo_category args);
+prints the top ops and a per-stage rollup keyed by layer name fragments.
+Usage: python _profile_fwd.py [trainstep]
+"""
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_forward(tmpdir):
+    from unetseg_tpu.core.config import ModelConfig
+    from unetseg_tpu.infer.folding import fold_batchnorm
+    from unetseg_tpu.models.fast_init import fast_random_variables
+    from unetseg_tpu.models.unet import UNet
+
+    model = UNet(cfg=ModelConfig())
+    variables = fast_random_variables(model, jax.random.key(0), input_size=512)
+    fmodel, fvars = fold_batchnorm(ModelConfig(), variables)
+
+    @jax.jit
+    def fwd(fv, x):
+        return fmodel.apply(fv, x)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(16, 512, 512, 1), jnp.bfloat16)
+    float(fwd(fvars, x).sum())  # compile+warm
+    with jax.profiler.trace(tmpdir):
+        for _ in range(3):
+            float(fwd(fvars, x).sum())
+
+
+def run_trainstep(tmpdir):
+    from unetseg_tpu.core.config import Config, TrainConfig
+    from unetseg_tpu.train.state import create_train_state
+    from unetseg_tpu.train.steps import make_train_step
+
+    cfg = Config()
+    tcfg = cfg.train
+    state = create_train_state(jax.random.key(0), model_cfg=cfg.model, input_size=512)
+    step = make_train_step(cfg.model, tcfg, augment=False)
+    b = tcfg.batch_size
+    imgs = jnp.asarray(np.random.RandomState(0).rand(b, 512, 512), jnp.float32)
+    masks = jnp.asarray(np.random.RandomState(1).randint(0, 2, (b, 512, 512)), jnp.int32)
+    wmaps = jnp.ones((b, 512, 512), jnp.float32)
+    key = jax.random.key(1)
+    state, metrics = step(state, imgs, masks, wmaps, key)
+    float(metrics["loss"])
+    with jax.profiler.trace(tmpdir):
+        for _ in range(3):
+            state, metrics = step(state, imgs, masks, wmaps, key)
+            float(metrics["loss"])
+
+
+def parse(tmpdir, n_iters=3):
+    paths = glob.glob(os.path.join(tmpdir, "**", "*.trace.json.gz"), recursive=True)
+    assert paths, f"no trace under {tmpdir}"
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    # find device-plane pids (TensorFlow Op lines live under TPU device pids)
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "/device" in n.lower()}
+    by_op = defaultdict(float)
+    by_cat = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        args = e.get("args") or {}
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        name = e.get("name", "")
+        if "run_id" in args and not args.get("hlo_category"):
+            continue  # module-level envelope event
+        cat = args.get("hlo_category", "?")
+        op = args.get("tf_op") or name
+        by_op[(op, cat)] += dur
+        by_cat[cat] += dur
+        total += dur
+    print(f"total device time: {total / n_iters:.3f} ms/iter over {n_iters} iters")
+    print("\n-- by hlo_category (ms/iter) --")
+    for c, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"  {c:36s} {t / n_iters:8.3f}")
+    print("\n-- top 40 ops (ms/iter) --")
+    for (op, cat), t in sorted(by_op.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"  {t / n_iters:8.3f}  [{cat}] {op[:110]}")
+    # stage rollup by layer-name fragment
+    frags = ["enc0", "enc1", "enc2", "enc3", "enc4",
+             "dec0", "dec1", "dec2", "dec3", "up0", "up1", "up2", "up3", "outc"]
+    by_stage = defaultdict(float)
+    for (op, cat), t in by_op.items():
+        for fr in frags:
+            if fr in op:
+                by_stage[fr] += t
+                break
+        else:
+            by_stage["(other)"] += t
+    print("\n-- by stage (ms/iter) --")
+    for s, t in sorted(by_stage.items(), key=lambda kv: -kv[1]):
+        print(f"  {s:10s} {t / n_iters:8.3f}")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "forward"
+    tmpdir = f"/tmp/prof_{mode}"
+    os.system(f"rm -rf {tmpdir}")
+    if mode == "trainstep":
+        run_trainstep(tmpdir)
+    else:
+        run_forward(tmpdir)
+    parse(tmpdir)

@@ -114,6 +114,29 @@ class FoldedDoubleConv(nn.Module):
         return x
 
 
+class _OutConv1x1(nn.Module):
+    """1x1 logits head: bf16 operands, f32 accumulation — parameter tree
+    identical to nn.Conv (outc/{kernel,bias}) so folded checkpoints load
+    unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return y + bias
+
+
 class FoldedUNet(nn.Module):
     """Inference-only U-Net with identical topology and folded parameters."""
 
@@ -155,10 +178,11 @@ class FoldedUNet(nn.Module):
                 use_lanes=self.use_lanes, name=f"dec{i}",
             )(x)
 
-        return nn.Conv(
-            cfg.num_classes, (1, 1), padding="VALID",
-            dtype=jnp.float32, param_dtype=jnp.float32, name="outc",
-        )(x.astype(jnp.float32))
+        # 1x1 head reading bf16 activations, f32 accumulation/output: an f32
+        # head re-reads the whole 64-channel activation at double width for
+        # 0.4 GFLOP of work — profiled at 1.64 ms of pure HBM bandwidth per
+        # 16 tiles (5% of the forward).
+        return _OutConv1x1(cfg.num_classes, name="outc")(x)
 
 
 def _fold_block(block_params: Dict, block_stats: Dict, eps: float) -> Dict:

@@ -52,6 +52,25 @@ class TileGrid:
         return self.ny * self.nx
 
 
+def min_tile_input(cover: int, levels: int = 5, search: int = 256) -> int:
+    """Smallest valid network input size whose output covers `cover` pixels.
+
+    Fewer, larger tiles are strictly cheaper per output pixel: the valid-conv
+    margin (~190 px at these depths) is re-computed per tile, so a 512-frame
+    segmented as four 512->324 tiles oversamples the input 4.0x, while one
+    700->516 tile oversamples 1.87x — same math, ~2.1x less compute
+    (reference: images/old readme unet.txt Phase 4 describes the strategy;
+    the paper's Fig. 2 applies the net to the full mirror-padded image, which
+    is exactly the single-tile case)."""
+    for t in range(cover, cover + max(search, cover) + 1):
+        try:
+            if output_size(t, levels) >= cover:
+                return t
+        except ValueError:
+            continue
+    raise ValueError(f"no valid tile input covering {cover}px found")
+
+
 def plan_tiles(h: int, w: int, tile_in: int = 512) -> TileGrid:
     """Plan the grid: outputs tile the image exactly (stride = tile_out);
     input context comes from mirror padding by margin/2 plus ragged-edge
