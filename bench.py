@@ -61,6 +61,22 @@ def main() -> int:
     variables = fast_random_variables(model, jax.random.key(0), input_size=size)
     fmodel, fvars = fold_batchnorm(ModelConfig(), variables)
 
+    # Tier-1 lanes-native forward (Pallas kernels for the stages XLA runs
+    # below roofline — infer/lanes_net.py); UNETSEG_LANES_NET=0 disables.
+    from unetseg_tpu.infer.lanes_net import folded_forward_tier1, supports
+
+    use_lanes = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("UNETSEG_LANES_NET", "1") != "0"
+        and supports(ModelConfig(), tile_in)
+    )
+    if use_lanes:
+        apply_fn = lambda fv, x: folded_forward_tier1(
+            fv["params"], x, ModelConfig()
+        )
+    else:
+        apply_fn = lambda fv, x: fmodel.apply(fv, x)
+
     grid = plan_tiles(size, size, tile_in)
     n_tiles = frames_per_call * grid.num_tiles
 
@@ -71,7 +87,7 @@ def main() -> int:
         x = (tiles - 0.5) / 0.5
         outs = []
         for s in range(0, n_tiles, tile_chunk):
-            logits = fmodel.apply(fv, x[s : s + tile_chunk, ..., None])
+            logits = apply_fn(fv, x[s : s + tile_chunk, ..., None])
             outs.append(jax.nn.softmax(logits, -1)[..., 1] > 0.5)
         masks = jnp.concatenate(outs).reshape(
             frames_per_call, grid.num_tiles, grid.tile_out, grid.tile_out

@@ -88,6 +88,112 @@ def test_lanes_kernel_variants_match_lax(pipelined, rows):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_phase2_conv_matches_lax():
+    """2-phase space-to-depth conv == lax.conv (f32, interpret)."""
+    from unetseg_tpu.ops.pallas.conv3x3 import (
+        conv3x3_phase2,
+        from_lanes_p2,
+        to_lanes_p2,
+    )
+
+    rs = np.random.RandomState(6)
+    for w_true in (132, 131):  # even and odd true widths
+        x = jnp.asarray(rs.rand(2, 21, w_true, 8).astype(np.float32))
+        w = jnp.asarray(rs.rand(3, 3, 8, 16).astype(np.float32) * 0.1)
+        scale = jnp.asarray(rs.rand(16, 1).astype(np.float32) + 0.5)
+        bias = jnp.asarray(rs.rand(16, 1).astype(np.float32) - 0.5)
+        ref = _ref_conv(x, w, bias[:, 0], scale[:, 0])
+        xl = to_lanes_p2(x)
+        stride = lane_stride(-(-w_true // 2))
+        out_l = conv3x3_phase2(
+            xl, w, scale, bias, stride, relu=True, interpret=True
+        )
+        got = from_lanes_p2(out_l, 2, w_true - 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_phase2_conv_fused_pool():
+    """Fused epilogue pool == reduce_window 2x2 max pool of the conv out."""
+    from unetseg_tpu.ops.pallas.conv3x3 import (
+        conv3x3_phase2,
+        from_lanes,
+        to_lanes_p2,
+    )
+
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.rand(2, 22, 132, 8).astype(np.float32))
+    w = jnp.asarray(rs.rand(3, 3, 8, 16).astype(np.float32) * 0.1)
+    scale = jnp.ones((16, 1), np.float32)
+    bias = jnp.zeros((16, 1), np.float32)
+    conv_ref = _ref_conv(x, w, relu=True)  # (2, 20, 130, 16)
+    pool_ref = jax.lax.reduce_window(
+        conv_ref, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+    xl = to_lanes_p2(x)
+    stride = lane_stride(66)
+    _, pooled = conv3x3_phase2(
+        xl, w, scale, bias, stride, relu=True, interpret=True, fuse_pool=True
+    )
+    # pooled is dense 1-phase: lane j == pooled column j
+    got = from_lanes(pooled, 2, 65)[:, :10, :, :]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(pool_ref), atol=2e-5
+    )
+
+
+def test_tconv_phase2_matches_flax():
+    """Lanes tconv == nn.ConvTranspose k=2 s=2 VALID (the up-path op)."""
+    from flax import linen as nn
+
+    from unetseg_tpu.ops.pallas.conv3x3 import (
+        from_lanes_p2,
+        tconv2x2_phase2,
+        to_lanes,
+    )
+
+    rs = np.random.RandomState(8)
+    x = jnp.asarray(rs.rand(2, 11, 130, 8).astype(np.float32))
+    mod = nn.ConvTranspose(4, (2, 2), strides=(2, 2), padding="VALID")
+    v = mod.init(jax.random.key(0), x)
+    ref = mod.apply(v, x)  # (2, 22, 260, 4)
+    w = v["params"]["kernel"]  # (2, 2, 8, 4)
+    b = v["params"]["bias"]
+    out_l = tconv2x2_phase2(
+        to_lanes(x), w, b.reshape(4, 1), 256, interpret=True
+    )
+    got = from_lanes_p2(out_l, 2, 260)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_dec_conv0_phase2_matches_crop_concat_conv():
+    """Decoder-entry kernel == conv3x3(concat(center_crop(skip), up)) with
+    the crop folded into DMA offsets + rolls."""
+    from unetseg_tpu.ops.pallas.conv3x3 import (
+        dec_conv0_phase2,
+        from_lanes_p2,
+        to_lanes_p2,
+    )
+
+    rs = np.random.RandomState(9)
+    skip = jnp.asarray(rs.rand(2, 30, 140, 8).astype(np.float32))
+    up = jnp.asarray(rs.rand(2, 20, 132, 8).astype(np.float32))
+    w = jnp.asarray(rs.rand(3, 3, 16, 8).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rs.rand(8, 1).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rs.rand(8, 1).astype(np.float32) - 0.5)
+    crop = skip[:, 5:25, 4:136, :]  # center crop to up's geometry
+    ref = _ref_conv(
+        jnp.concatenate([crop, up], axis=-1), w, bias[:, 0], scale[:, 0]
+    )
+    out_l = dec_conv0_phase2(
+        to_lanes_p2(skip), to_lanes_p2(up), w, scale, bias,
+        item_stride=128, out_rows=18, row_off=5, lane_off=2,
+        relu=True, interpret=True,
+    )
+    got = from_lanes_p2(out_l, 2, 130)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_lanes_roundtrip():
     rs = np.random.RandomState(3)
     x = jnp.asarray(rs.rand(3, 7, 200, 8).astype(np.float32))

@@ -1,0 +1,52 @@
+"""Tier-1 lanes-native folded forward (infer/lanes_net.py): end-to-end
+parity with FoldedUNet on the tiny-net geometry (interpret-mode kernels)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unetseg_tpu.core.config import ModelConfig
+from unetseg_tpu.infer.folding import fold_batchnorm
+from unetseg_tpu.infer.lanes_net import folded_forward_tier1, supports
+from unetseg_tpu.models.unet import UNet, init_unet
+
+
+def _folded_tiny(dtype="float32"):
+    cfg = ModelConfig(base_features=4, compute_dtype=dtype)
+    model = UNet(cfg=cfg)
+    v = init_unet(model, jax.random.key(0), input_size=188)
+    fmodel, fvars = fold_batchnorm(cfg, v)
+    return cfg, fmodel, fvars
+
+
+def test_supports_standard_geometries():
+    cfg = ModelConfig()
+    assert supports(cfg, 512)
+    assert supports(cfg, 700)
+    assert supports(ModelConfig(base_features=4), 188)
+    assert not supports(ModelConfig(bilinear=True), 512)
+
+
+def test_tier1_matches_folded_unet():
+    cfg, fmodel, fvars = _folded_tiny()
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(2, 188, 188, 1).astype(np.float32)
+    )
+    ref = fmodel.apply(fvars, x)
+    got = folded_forward_tier1(fvars["params"], x, cfg, interpret=True)
+    assert got.shape == ref.shape == (2, 4, 4, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+def test_tier1_three_class_head():
+    cfg = ModelConfig(base_features=4, num_classes=3, compute_dtype="float32")
+    model = UNet(cfg=cfg)
+    v = init_unet(model, jax.random.key(1), input_size=188)
+    fmodel, fvars = fold_batchnorm(cfg, v)
+    x = jnp.asarray(
+        np.random.RandomState(1).rand(1, 188, 188, 1).astype(np.float32)
+    )
+    ref = fmodel.apply(fvars, x)
+    got = folded_forward_tier1(fvars["params"], x, cfg, interpret=True)
+    assert got.shape == ref.shape == (1, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)

@@ -12,6 +12,8 @@ import os
 import sys
 from collections import defaultdict
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,25 +40,31 @@ def run_forward(tmpdir):
             float(fwd(fvars, x).sum())
 
 
-def run_trainstep(tmpdir):
-    from unetseg_tpu.core.config import Config, TrainConfig
+def run_trainstep(tmpdir, augment=False):
+    from unetseg_tpu.core.config import Config
+    from unetseg_tpu.models.unet import UNet
     from unetseg_tpu.train.state import create_train_state
     from unetseg_tpu.train.steps import make_train_step
 
     cfg = Config()
-    tcfg = cfg.train
-    state = create_train_state(jax.random.key(0), model_cfg=cfg.model, input_size=512)
-    step = make_train_step(cfg.model, tcfg, augment=False)
-    b = tcfg.batch_size
+    model = UNet(cfg=cfg.model)
+    state = create_train_state(
+        jax.random.key(0), model_cfg=cfg.model, input_size=512, model=model
+    )
+    step = make_train_step(model, augment=augment)
+    b = cfg.train.batch_size
     imgs = jnp.asarray(np.random.RandomState(0).rand(b, 512, 512), jnp.float32)
-    masks = jnp.asarray(np.random.RandomState(1).randint(0, 2, (b, 512, 512)), jnp.int32)
+    masks = jnp.asarray(
+        np.random.RandomState(1).randint(0, 5, (b, 512, 512)), jnp.int32
+    )
     wmaps = jnp.ones((b, 512, 512), jnp.float32)
+    val = jnp.ones((b,), bool)
     key = jax.random.key(1)
-    state, metrics = step(state, imgs, masks, wmaps, key)
+    state, metrics = step(state, imgs, masks, wmaps, val, key)
     float(metrics["loss"])
     with jax.profiler.trace(tmpdir):
         for _ in range(3):
-            state, metrics = step(state, imgs, masks, wmaps, key)
+            state, metrics = step(state, imgs, masks, wmaps, val, key)
             float(metrics["loss"])
 
 
@@ -116,7 +124,9 @@ if __name__ == "__main__":
     tmpdir = f"/tmp/prof_{mode}"
     os.system(f"rm -rf {tmpdir}")
     if mode == "trainstep":
-        run_trainstep(tmpdir)
+        run_trainstep(tmpdir, augment=False)
+    elif mode == "trainstep-aug":
+        run_trainstep(tmpdir, augment=True)
     else:
         run_forward(tmpdir)
     parse(tmpdir)

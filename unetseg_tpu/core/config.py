@@ -93,6 +93,11 @@ class TrainConfig:
     profile_steps: int = 5           # how many steps the trace covers
     border_boost: float = 5.0        # 3-class mode: loss multiplier on the
                                      # (rare) border class
+    # jax.checkpoint policy for the forward ("dots" | "dots_no_batch" |
+    # "nothing" | None). "dots" keeps conv outputs and recomputes the
+    # elementwise BN/ReLU chains in the backward pass: measured 66.6 -> 61.5
+    # ms/step (identical numerics); the aggressive policies lose (88 ms).
+    remat: Optional[str] = "dots"
 
 
 @dataclass(frozen=True)

@@ -52,6 +52,25 @@ class PackableConv3x3(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         xb = x.astype(self.compute_dtype)
         k = kernel.astype(self.compute_dtype)
+        if cin == 1:
+            # Stem conv: XLA's conv lowering of a 1-channel input is pure
+            # data formatting (profiled 1.85 ms / 2.6 TF/s for 16 512-tiles).
+            # im2col is cheap at C=1: 9 shifted views -> one K=9 dot.
+            b, h, w, _ = xb.shape
+            patches = jnp.concatenate(
+                [
+                    xb[:, dy : h - 2 + dy, dx : w - 2 + dx, :]
+                    for dy in range(3)
+                    for dx in range(3)
+                ],
+                axis=-1,
+            )
+            y = jax.lax.dot_general(
+                patches, k.reshape(9, self.features),
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=self.compute_dtype,
+            )
+            return y + bias.astype(self.compute_dtype)
         if self.use_packed and should_pack(x.shape[2], self.features, cin):
             return packed_conv3x3_valid(xb, k, bias)
         dn = jax.lax.conv_dimension_numbers(

@@ -1,0 +1,197 @@
+"""Tier-1 lanes-native folded forward.
+
+The profiled folded forward spends most of its non-roofline time in the
+big-spatial low-channel stages: the stem + enc0 convs, pool0, the enc0-skip
+center-crop slice, dec3, and up3 (docs/PARITY.md perf table). This module
+runs exactly those stages as fused Pallas kernels in the 2-phase lanes
+layout (ops/pallas/conv3x3.py) and keeps the middle of the network — which
+XLA already runs at 170-195 TF/s — as plain NHWC lax ops:
+
+    ingest (space-to-depth x2)
+      -> enc0 conv0/conv1 (2-phase lanes, 2x2 pool fused into the epilogue)
+      -> [NHWC: enc1..enc4, dec0..dec2, pools, tconvs, crops]   (XLA)
+      -> up3 tconv (lanes, 2-phase out) -> dec3 conv0 (skip crop folded
+         into DMA offsets + rolls) -> dec3 conv1 -> 1x1 head (lanes)
+      -> logits NHWC
+
+Boundary costs are one small transpose per region edge (the pooled
+(B, S/2, S/2, 64) tensor and the (B, w, w, 128) up3 input) instead of the
+per-block NHWC<->lanes round-trips that sank the round-2 opt-in path
+(32.6 -> 18 MPix/s, docs/PARITY.md).
+
+Constraints: the enc0-skip center-crop column offset must be even (it is
+for 512-, 700-, and 188-pixel inputs); otherwise callers fall back to
+FoldedUNet. reference: models/unet_model.py:105-146 is the network this
+reproduces (bit-compatible with infer/folding.FoldedUNet, tested).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from unetseg_tpu.core.config import ModelConfig
+from unetseg_tpu.models.shapes import unet_shapes
+from unetseg_tpu.models.unet import center_crop_nhwc
+from unetseg_tpu.ops.pallas.conv3x3 import (
+    conv3x3_phase2,
+    dec_conv0_phase2,
+    from_lanes,
+    from_lanes_p2,
+    lane_stride,
+    tconv2x2_phase2,
+    to_lanes,
+    to_lanes_p2,
+)
+
+
+def supports(model_cfg: ModelConfig, input_size: int) -> bool:
+    """True when the tier-1 lanes forward can run this geometry."""
+    if model_cfg.levels != 5 or model_cfg.bilinear:
+        return False
+    if model_cfg.base_features % 4:
+        return False
+    try:
+        sh = unet_shapes(input_size, model_cfg.levels)
+    except ValueError:
+        return False
+    # enc0-skip crop: even column offset, and the decoder's lane stride must
+    # equal the encoder's so skip and up tensors share one lane layout
+    crop_off = (sh.encoder[0] - sh.crops[-1]) // 2
+    if (sh.encoder[0] - sh.crops[-1]) % 2:
+        return False
+    if crop_off % 2:
+        return False
+    st0 = lane_stride(-(-input_size // 2))
+    if sh.decoder[-2] > st0:  # dec2 width must fit one encoder-stride span
+        return False
+    return True
+
+
+def _conv_nhwc(x, k, b, dtype, relu=True):
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    ) + b.astype(dtype)
+    return jnp.maximum(y, 0) if relu else y
+
+
+def _block_nhwc(x, p, dtype):
+    for i in range(2):
+        c = p[f"conv{i}"]
+        x = _conv_nhwc(x, c["kernel"], c["bias"], dtype)
+    return x
+
+
+def _tconv_nhwc(x, p, dtype):
+    y = jax.lax.conv_transpose(
+        x, p["kernel"].astype(dtype), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["bias"].astype(dtype)
+
+
+def folded_forward_tier1(
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    model_cfg: ModelConfig,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, S, S, 1) -> (B, s', s', num_classes) f32 logits; `params` is the
+    folded tree from infer/folding.fold_batchnorm."""
+    dtype = jnp.dtype(model_cfg.compute_dtype)
+    b, s, _, cin = x.shape
+    assert cin == 1
+    sh = unet_shapes(s, model_cfg.levels)
+    f0 = model_cfg.base_features
+    st0 = lane_stride(-(-s // 2))
+    ones = {}
+
+    def one(co):
+        if co not in ones:
+            ones[co] = jnp.ones((co, 1), jnp.float32)
+        return ones[co]
+
+    def cb(p):
+        return p["kernel"], p["bias"].reshape(-1, 1)
+
+    # ---- encoder level 0: 2-phase lanes, pool fused ----
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (0, 0), (0, 0), (0, 3)))
+    k0, b0 = cb(params["enc0"]["conv0"])
+    k0 = jnp.pad(k0, ((0, 0), (0, 0), (0, 3), (0, 0)))
+    xl = to_lanes_p2(xp)
+    if xl.shape[-1] != b * st0:  # width pad in to_lanes_p2 keeps stride
+        raise ValueError("stride mismatch in ingest")
+    h = conv3x3_phase2(xl, k0, one(f0), b0, st0, interpret=interpret)
+    k1, b1 = cb(params["enc0"]["conv1"])
+    skip0, pooled = conv3x3_phase2(
+        h, k1, one(f0), b1, st0, interpret=interpret, fuse_pool=True
+    )
+    wp0 = (s - 4) // 2
+    x1 = from_lanes(pooled, b, wp0)  # NHWC (B, wp0, wp0, f0)
+
+    # ---- middle: NHWC (XLA is at/near roofline here) ----
+    skips = []
+    xm = x1
+    for lvl in range(1, model_cfg.levels):
+        if lvl > 1:
+            xm = jax.lax.reduce_window(
+                xm, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+        xm = _block_nhwc(xm, params[f"enc{lvl}"], dtype)
+        skips.append(xm)
+
+    xm = skips[-1]
+    for i in range(model_cfg.levels - 2):  # dec0..dec2
+        xm = _tconv_nhwc(xm, params[f"up{i}_tconv"], dtype)
+        skip = skips[-(i + 2)]
+        skip_c = center_crop_nhwc(skip, xm.shape[1], xm.shape[2])
+        xm = jnp.concatenate([skip_c, xm.astype(dtype)], axis=-1)
+        xm = _block_nhwc(xm, params[f"dec{i}"], dtype)
+
+    # ---- decoder level 0: lanes ----
+    dlast = model_cfg.levels - 2  # dec3 for 5 levels
+    up_w = sh.crops[-1]
+    # up3 input is dense 1-phase at the encoder stride
+    d2w = xm.shape[2]
+    if lane_stride(d2w) != st0:
+        if lane_stride(d2w) > st0:
+            raise ValueError("decoder wider than encoder stride")
+        xm = jnp.pad(xm, ((0, 0), (0, 0), (0, st0 - d2w), (0, 0)))
+        tl = xm.transpose(1, 3, 0, 2).reshape(xm.shape[1], xm.shape[3], b * st0)
+    else:
+        tl = to_lanes(xm)
+    pu = params[f"up{dlast}_tconv"]
+    up_l = tconv2x2_phase2(
+        tl, pu["kernel"], pu["bias"].reshape(-1, 1), st0, interpret=interpret
+    )[: up_w]
+
+    row_off = (sh.encoder[0] - up_w) // 2
+    kd0, bd0 = cb(params[f"dec{dlast}"]["conv0"])
+    y = dec_conv0_phase2(
+        skip0, up_l, kd0, one(f0), bd0, st0,
+        out_rows=up_w - 2, row_off=row_off, lane_off=row_off // 2,
+        interpret=interpret,
+    )
+    kd1, bd1 = cb(params[f"dec{dlast}"]["conv1"])
+    y = conv3x3_phase2(y, kd1, one(f0), bd1, st0, interpret=interpret)
+
+    # ---- 1x1 head in lanes (bf16 operands, f32 accumulation) ----
+    ko = params["outc"]["kernel"].reshape(f0, -1)
+    bo = params["outc"]["bias"]
+    nc = ko.shape[1]
+    logits = []
+    for p in range(2):
+        yp = y[:, p * f0 : (p + 1) * f0, :]
+        lp = jax.lax.dot_general(
+            ko.astype(dtype).T, yp,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # contract the channel dim -> (nc, H, L)
+        logits.append(jnp.moveaxis(lp, 0, 1))  # (H, nc, L)
+    ll = jnp.concatenate(logits, axis=1)  # (H, 2*nc, L)
+    ll = ll + jnp.tile(bo, 2)[None, :, None]
+    return from_lanes_p2(ll, b, sh.output_size).astype(jnp.float32)

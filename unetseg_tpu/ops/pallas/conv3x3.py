@@ -67,18 +67,25 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
 
 
 def _kernel_v2(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
-               *, relu, lb, ci, co, rows, nby, nbl):
-    """Pipelined variant: double-buffered window DMA across grid steps and
-    `rows` output rows per MXU dot.
+               *, relu, lb, ci, co, rows, nby, nbl, segs=3, pool_ref=None):
+    """Pipelined variant: double-buffered window DMA across grid steps,
+    `rows` output rows per MXU dot, `segs` lane-tap segments.
 
-    Per-row dots at CI=CO=64 are (192, 192, lanes) — 1.5x1.5 MXU tiles, 56%
-    array utilization, and enough of them that fixed per-dot cost dominates
-    (measured 44 TF/s). Stacking `rows` consecutive output rows into one
-    block-banded dot pads M,K to exact tile multiples: rows=2 at CI=64 gives
-    a (384, 256, lanes) dot — 100% tile utilization at 4/3 extra FLOPs (the
-    off-band zeros), a strictly better trade. CI>=128 keeps rows=1 (M=K=3*CI
-    are already exact tile multiples). The window DMA for grid step i+1 is
-    issued before step i's compute so HBM reads hide behind the dots."""
+    - The window DMA for grid step i+1 is issued before step i's compute so
+      HBM reads hide behind the dots (1.39 vs 2.36 ms on the enc0b shape).
+    - rows>1 stacks consecutive output rows into one block-banded dot with
+      exact M,K tile multiples; measured slower than rows=1 on v5e, kept
+      for experimentation.
+    - segs is the number of lane-shift tap groups in the packed weight
+      matrix: 3 for the plain lanes conv (kx taps 0,1,2 — pack_w_banded),
+      2 for the 2-phase space-to-depth conv (shift groups 0,1 —
+      pack_w_phase2, where `ci`/`co` are the *doubled* phase-stacked
+      channel counts).
+    - pool_ref, if given, receives the fused 2x2 max-pool of the conv
+      output: row pairs are maxed across the unrolled row loop and, for the
+      2-phase layout, the phase pair (out channel halves) collapses to the
+      dense 1-phase pooled tensor — the pool costs no extra memory pass.
+    """
     by = pl.program_id(0)
     bl = pl.program_id(1)
     step = by * nbl + bl
@@ -102,20 +109,30 @@ def _kernel_v2(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
     dma(step % 2, step).wait()
     win = win_ref.at[step % 2]
 
+    prev = None
     for r in range(0, TH, rows):
         xw = win[r : r + rows + 2].reshape((rows + 2) * ci, lb)
         y = jnp.dot(w_ref[:], xw, preferred_element_type=jnp.float32)
         for p in range(rows):
-            seg = y[p * 3 * co : (p + 1) * 3 * co]
-            acc = (
-                seg[0 * co : 1 * co]
-                + pltpu.roll(seg[1 * co : 2 * co], lb - 1, 1)
-                + pltpu.roll(seg[2 * co : 3 * co], lb - 2, 1)
-            )
+            seg0 = p * segs * co
+            acc = y[seg0 : seg0 + co]
+            for s in range(1, segs):
+                acc = acc + pltpu.roll(
+                    y[seg0 + s * co : seg0 + (s + 1) * co], lb - s, 1
+                )
             acc = acc * s_ref[:] + b_ref[:]
             if relu:
                 acc = jnp.maximum(acc, 0.0)
             out_ref[r + p] = acc.astype(out_ref.dtype)
+            if pool_ref is not None:
+                half = co // 2
+                m = jnp.maximum(acc[:half], acc[half:])  # phase pair
+                if (r + p) % 2 == 0:
+                    prev = m
+                else:
+                    pool_ref[(r + p) // 2] = jnp.maximum(prev, m).astype(
+                        pool_ref.dtype
+                    )
 
 
 def _lane_block(total_lanes: int, item_stride: int) -> int:
@@ -242,6 +259,357 @@ def pack_w_banded(w_hwio: jnp.ndarray, rows: int) -> jnp.ndarray:
     for p in range(rows):
         wb = wb.at[p, :, :, p : p + 3, :].set(a)
     return wb.reshape(rows * 3 * co, (rows + 2) * ci)
+
+
+def pack_w_phase2(w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, CI, CO) -> (4*CO, 6*CI) for the 2-phase space-to-depth conv.
+
+    2-phase layout: lane j of phase p holds true column 2j+p, phases stacked
+    on the channel axis ([phase0 ci..., phase1 ci...]). A VALID 3x3 conv then
+    needs only lane shifts {0, 1}:
+        out[p=0, j] = W0 x(0,j) + W1 x(1,j) + W2 x(0,j+1)
+        out[p=1, j] = W0 x(1,j) + W1 x(0,j+1) + W2 x(1,j+1)
+    Packed as M=(shift s, phase p, co), K=(ky, phase q, ci): 6 nonzero blocks
+    of 8 (75% density) with exact 128-tiles from CI=64 up — the same
+    effective dot class that measures ~150 TF/s at C=128."""
+    ci, co = w_hwio.shape[2], w_hwio.shape[3]
+    z = jnp.zeros_like(w_hwio[:, 0])  # (3, ci, co)
+    blk = {
+        (0, 0, 0): w_hwio[:, 0], (0, 0, 1): w_hwio[:, 1],
+        (0, 1, 0): z,            (0, 1, 1): w_hwio[:, 0],
+        (1, 0, 0): w_hwio[:, 2], (1, 0, 1): z,
+        (1, 1, 0): w_hwio[:, 1], (1, 1, 1): w_hwio[:, 2],
+    }
+    rows_out = []
+    for s in range(2):
+        for p in range(2):
+            kb = jnp.stack([blk[(s, p, 0)], blk[(s, p, 1)]], axis=1)
+            rows_out.append(kb.reshape(6 * ci, co).T)
+    return jnp.concatenate(rows_out, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("item_stride", "relu", "interpret", "fuse_pool"),
+)
+def conv3x3_phase2(x, w_hwio, scale, bias, item_stride: int,
+                   relu: bool = True, interpret: bool = False,
+                   fuse_pool: bool = False):
+    """Fused 3x3 VALID conv (+ affine + ReLU) in the 2-phase lanes layout.
+
+    x: (H, 2*CI, L) phase-stacked (see to_lanes_p2); scale/bias (CO, 1).
+    Returns (H-2 padded to TH, 2*CO, L); with fuse_pool also the 2x2
+    max-pooled DENSE 1-phase tensor ((H-2)//2 padded, CO, L) — pooling a
+    2-phase tensor is elementwise (row pair max + phase pair max; the pooled
+    column j IS lane j), so it rides the conv epilogue for free."""
+    h, ci2, lanes = x.shape
+    ci = ci2 // 2
+    co = w_hwio.shape[3]
+    ho = h - 2
+    nby = -(-ho // TH)
+    h_pad = (nby - 1) * TH + WIN
+    if h_pad > h:
+        x = jnp.pad(x, ((0, h_pad - h), (0, 0), (0, 0)))
+    lb = _lane_block(lanes, item_stride)
+    nbl = lanes // lb
+
+    w_all = pack_w_phase2(w_hwio.astype(x.dtype))
+    s2 = jnp.concatenate([scale, scale], axis=0)
+    b2 = jnp.concatenate([bias, bias], axis=0)
+    out_specs = pl.BlockSpec(
+        (TH, 2 * co, lb), lambda by, bl: (by, 0, bl), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((nby * TH, 2 * co, lanes), x.dtype)
+    if fuse_pool:
+        def kernel_fp(x_ref, w_ref, s_ref, b_ref, out_ref, pool_ref,
+                      win_ref, sem):
+            _kernel_v2(
+                x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
+                relu=relu, lb=lb, ci=ci2, co=2 * co, rows=1,
+                nby=nby, nbl=nbl, segs=2, pool_ref=pool_ref,
+            )
+
+        out, pooled = pl.pallas_call(
+            kernel_fp,
+            grid=(nby, nbl),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                out_specs,
+                pl.BlockSpec(
+                    (TH // 2, co, lb), lambda by, bl: (by, 0, bl),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=(
+                out_shape,
+                jax.ShapeDtypeStruct((nby * TH // 2, co, lanes), x.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, WIN, ci2, lb), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(x, w_all, s2, b2)
+        return out[:ho], pooled[: ho // 2]
+
+    def kernel_plain(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem):
+        _kernel_v2(
+            x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
+            relu=relu, lb=lb, ci=ci2, co=2 * co, rows=1,
+            nby=nby, nbl=nbl, segs=2,
+        )
+
+    out = pl.pallas_call(
+        kernel_plain,
+        grid=(nby, nbl),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN, ci2, lb), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, w_all, s2, b2)
+    return out[:ho]
+
+
+def _kernel_tconv(x_ref, w_ref, b_ref, out_ref, win_ref, sem,
+                  *, lb, ci, co, nby, nbl, th_in):
+    """2x2-stride-2 transposed conv, dense 1-phase input -> 2-phase output.
+
+    out[2r+dy, 2j+dx] = sum_ci W[dy,dx,ci,co] x[r,j]: with the 2-phase
+    output convention (phase dx at lane j) every output lands at the SAME
+    lane as its input — no shifts at all. One (4*CO, CI) dot per input row;
+    M rows ordered (dy, phase dx, co) so row dy's two phase blocks are a
+    contiguous (2*CO, lb) slice."""
+    by = pl.program_id(0)
+    bl = pl.program_id(1)
+    step = by * nbl + bl
+
+    def dma(slot, stp):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds((stp // nbl) * th_in, th_in), :,
+                     pl.ds((stp % nbl) * lb, lb)],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(step + 1 < nby * nbl)
+    def _():
+        dma((step + 1) % 2, step + 1).start()
+
+    dma(step % 2, step).wait()
+    win = win_ref.at[step % 2]
+
+    for r in range(th_in):
+        y = jnp.dot(w_ref[:], win[r], preferred_element_type=jnp.float32)
+        for dy in range(2):
+            acc = y[dy * 2 * co : (dy + 1) * 2 * co] + b_ref[:]
+            out_ref[2 * r + dy] = acc.astype(out_ref.dtype)
+
+
+def pack_w_tconv(w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """(2, 2, CI, CO) -> (4*CO, CI), M ordered (dy, phase dx, co).
+
+    flax/lax conv_transpose applies the kernel spatially FLIPPED
+    (out[2r+dy, 2j+dx] += W[1-dy, 1-dx] · x[r, j]; verified numerically),
+    so flip both spatial dims here to match nn.ConvTranspose parameters."""
+    ci, co = w_hwio.shape[2], w_hwio.shape[3]
+    return w_hwio[::-1, ::-1].transpose(0, 1, 3, 2).reshape(4 * co, ci)
+
+
+@functools.partial(jax.jit, static_argnames=("item_stride", "interpret"))
+def tconv2x2_phase2(x, w_hwio, bias, item_stride: int,
+                    interpret: bool = False):
+    """k=2 s=2 VALID transposed conv: dense lanes (H, CI, L) -> 2-phase
+    (2*H, 2*CO, L) at the same stride. bias: (CO, 1)."""
+    h, ci, lanes = x.shape
+    co = w_hwio.shape[3]
+    th_in = TH // 2
+    nby = -(-h // th_in)
+    if nby * th_in > h:
+        x = jnp.pad(x, ((0, nby * th_in - h), (0, 0), (0, 0)))
+    lb = _lane_block(lanes, item_stride)
+    nbl = lanes // lb
+    w_all = pack_w_tconv(w_hwio.astype(x.dtype))
+    b2 = jnp.concatenate([bias, bias], axis=0)
+    kernel = functools.partial(
+        _kernel_tconv, lb=lb, ci=ci, co=co, nby=nby, nbl=nbl, th_in=th_in
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nby, nbl),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * th_in, 2 * co, lb), lambda by, bl: (by, 0, bl),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * nby * th_in, 2 * co, lanes), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th_in, ci, lb), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, w_all, b2)
+    return out[: 2 * h]
+
+
+def _kernel_dec0(skip_ref, up_ref, ws_ref, wu_ref, s_ref, b_ref, out_ref,
+                 wins_ref, winu_ref, sems, *, relu, lb, cis2, ciu2, co2,
+                 nby, nbl, row_off, lane_off):
+    """Decoder-entry conv: 3x3 VALID over concat(center-cropped skip, up),
+    both in the 2-phase lanes layout, WITHOUT materializing the crop or the
+    concat. The skip's center-crop becomes a static DMA row offset plus
+    `lane_off` added to its two segment rolls (roll garbage wraps into each
+    item's dead tail lanes — same argument as the kx taps). Two dots per
+    row (skip channels, up channels) accumulate into one epilogue."""
+    by = pl.program_id(0)
+    bl = pl.program_id(1)
+    step = by * nbl + bl
+
+    def dma(ref, win, sem_idx, slot, stp, roff, ci2):
+        del ci2
+        return pltpu.make_async_copy(
+            ref.at[pl.ds(roff + (stp // nbl) * TH, WIN), :,
+                   pl.ds((stp % nbl) * lb, lb)],
+            win.at[slot],
+            sems.at[sem_idx, slot],
+        )
+
+    def both(slot, stp):
+        return (
+            dma(skip_ref, wins_ref, 0, slot, stp, row_off, cis2),
+            dma(up_ref, winu_ref, 1, slot, stp, 0, ciu2),
+        )
+
+    @pl.when(step == 0)
+    def _():
+        for d in both(0, 0):
+            d.start()
+
+    @pl.when(step + 1 < nby * nbl)
+    def _():
+        for d in both((step + 1) % 2, step + 1):
+            d.start()
+
+    for d in both(step % 2, step):
+        d.wait()
+    wins = wins_ref.at[step % 2]
+    winu = winu_ref.at[step % 2]
+
+    for r in range(TH):
+        xs = wins[r : r + 3].reshape(3 * cis2, lb)
+        xu = winu[r : r + 3].reshape(3 * ciu2, lb)
+        ys = jnp.dot(ws_ref[:], xs, preferred_element_type=jnp.float32)
+        yu = jnp.dot(wu_ref[:], xu, preferred_element_type=jnp.float32)
+        acc = yu[:co2] + pltpu.roll(yu[co2:], lb - 1, 1)
+        acc = acc + pltpu.roll(ys[:co2], lb - lane_off, 1)
+        acc = acc + pltpu.roll(ys[co2:], lb - lane_off - 1, 1)
+        acc = acc * s_ref[:] + b_ref[:]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        out_ref[r] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("item_stride", "out_rows", "row_off", "lane_off",
+                     "relu", "interpret"),
+)
+def dec_conv0_phase2(skip, up, w_hwio, scale, bias, item_stride: int,
+                     out_rows: int, row_off: int, lane_off: int,
+                     relu: bool = True, interpret: bool = False):
+    """First decoder conv of a block: conv3x3(concat(crop(skip), up)).
+
+    skip: (H_s, 2*CI_s, L) 2-phase; up: (H_u, 2*CI_u, L) 2-phase, same L.
+    w_hwio: (3, 3, CI_s + CI_u, CO) — the trained concat-conv kernel, skip
+    channels first (FoldedUNet concat order). The crop is (row_off,
+    2*lane_off) pixels: row_off must be the full-pixel row offset and
+    lane_off the PHASE-lane column offset (full-pixel offset / 2 — even
+    full-pixel column offsets only). Returns (out_rows, 2*CO, L)."""
+    h_u, ciu2, lanes = up.shape
+    _, cis2, _ = skip.shape
+    cis, ciu = cis2 // 2, ciu2 // 2
+    co = w_hwio.shape[3]
+    nby = -(-out_rows // TH)
+    need_s = row_off + (nby - 1) * TH + WIN
+    if need_s > skip.shape[0]:
+        skip = jnp.pad(skip, ((0, need_s - skip.shape[0]), (0, 0), (0, 0)))
+    need_u = (nby - 1) * TH + WIN
+    if need_u > h_u:
+        up = jnp.pad(up, ((0, need_u - h_u), (0, 0), (0, 0)))
+    lb = _lane_block(lanes, item_stride)
+    nbl = lanes // lb
+
+    dtype = up.dtype
+    w_s = pack_w_phase2(w_hwio[:, :, :cis].astype(dtype))
+    w_u = pack_w_phase2(w_hwio[:, :, cis:].astype(dtype))
+    s2 = jnp.concatenate([scale, scale], axis=0)
+    b2 = jnp.concatenate([bias, bias], axis=0)
+    kernel = functools.partial(
+        _kernel_dec0, relu=relu, lb=lb, cis2=cis2, ciu2=ciu2, co2=2 * co,
+        nby=nby, nbl=nbl, row_off=row_off, lane_off=lane_off,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nby, nbl),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(
+            (TH, 2 * co, lb), lambda by, bl: (by, 0, bl),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nby * TH, 2 * co, lanes), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN, cis2, lb), dtype),
+            pltpu.VMEM((2, WIN, ciu2, lb), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(skip, up, w_s, w_u, s2, b2)
+    return out[:out_rows]
+
+
+def to_lanes_p2(x_nhwc: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> 2-phase lanes (H, 2*C, B*stride): even columns in the
+    first C channels, odd columns in the second, stride = lane_stride of the
+    half width."""
+    b, h, w, c = x_nhwc.shape
+    wp = -(-w // 2)
+    stride = lane_stride(wp)
+    if 2 * stride > w:
+        x_nhwc = jnp.pad(x_nhwc, ((0, 0), (0, 0), (0, 2 * stride - w), (0, 0)))
+    xs = x_nhwc.reshape(b, h, stride, 2, c)
+    xp = jnp.concatenate([xs[:, :, :, 0], xs[:, :, :, 1]], axis=-1)
+    return xp.transpose(1, 3, 0, 2).reshape(h, 2 * c, b * stride)
+
+
+def from_lanes_p2(x_l: jnp.ndarray, b: int, w_valid: int) -> jnp.ndarray:
+    """2-phase lanes (H, 2*C, B*stride) -> (B, H, w_valid, C)."""
+    h, c2, bl = x_l.shape
+    c = c2 // 2
+    stride = bl // b
+    xp = x_l.reshape(h, 2, c, b, stride).transpose(3, 0, 4, 1, 2)
+    return xp.reshape(b, h, 2 * stride, c)[:, :, :w_valid]
 
 
 def double_conv_lanes(x_nhwc, k0, b0, k1, b1, relu=True, interpret=False):

@@ -102,6 +102,7 @@ def train(
         aug_gamma=d_cfg.aug_gamma,
         aug_illum=d_cfg.aug_illum,
         aug_noise=d_cfg.aug_noise,
+        remat=t_cfg.remat,
     )
     eval_step = make_eval_step(
         model, three_class=three_class, standardize=d_cfg.standardize

@@ -80,6 +80,14 @@ def three_class_targets(masks: jnp.ndarray, halo: int = 2) -> jnp.ndarray:
     return jnp.where(interior, 1, jnp.where(fg, 2, 0)).astype(jnp.int32)
 
 
+#: jax.checkpoint policies selectable by name for the train-step forward.
+REMAT_POLICIES = {
+    "dots": lambda: jax.checkpoint_policies.checkpoint_dots,
+    "dots_no_batch": lambda: jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+    "nothing": lambda: jax.checkpoint_policies.nothing_saveable,
+}
+
+
 def make_train_step(
     model: UNet,
     augment: bool = True,
@@ -93,6 +101,8 @@ def make_train_step(
     aug_gamma: float = 0.0,
     aug_illum: float = 0.0,
     aug_noise: float = 0.0,
+    remat: Optional[str] = None,
+    jit: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -134,7 +144,7 @@ def make_train_step(
         else:
             targets = (masks > 0).astype(jnp.int32)
 
-        def loss_fn(params):
+        def forward(params, images):
             logits, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 images[..., None],
@@ -142,10 +152,23 @@ def make_train_step(
                 item_mask=valid,
                 mutable=["batch_stats"],
             )
+            return logits, mutated["batch_stats"]
+
+        if remat is not None:
+            # Rematerialize the forward in the backward pass instead of
+            # saving every intermediate: the saved residuals (ReLU outputs,
+            # BN-normalized maps) are what drives the ~20 ms/step of layout
+            # "data formatting" copies around the big-spatial low-C stages
+            # (profiled; docs/PARITY.md). Policy "dots" keeps conv outputs
+            # and recomputes the cheap elementwise chains.
+            forward = jax.checkpoint(forward, policy=REMAT_POLICIES[remat]())
+
+        def loss_fn(params):
+            logits, new_bs = forward(params, images)
             loss = _masked_mean_loss(
                 logits, targets, weights, valid, use_pallas=use_pallas_loss
             )
-            return loss, mutated["batch_stats"]
+            return loss, new_bs
 
         (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -154,6 +177,8 @@ def make_train_step(
         gnorm = optax_global_norm(grads)
         return state, {"loss": loss, "grad_norm": gnorm}
 
+    if not jit:
+        return step
     donate_args = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
 
