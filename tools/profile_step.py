@@ -19,21 +19,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_forward(tmpdir):
+def run_forward(tmpdir, size=512, lanes=False):
     from unetseg_tpu.core.config import ModelConfig
     from unetseg_tpu.infer.folding import fold_batchnorm
     from unetseg_tpu.models.fast_init import fast_random_variables
     from unetseg_tpu.models.unet import UNet
 
     model = UNet(cfg=ModelConfig())
-    variables = fast_random_variables(model, jax.random.key(0), input_size=512)
+    variables = fast_random_variables(model, jax.random.key(0), input_size=size)
     fmodel, fvars = fold_batchnorm(ModelConfig(), variables)
+    if lanes:
+        from unetseg_tpu.infer.lanes_net import folded_forward_tier1
 
-    @jax.jit
-    def fwd(fv, x):
-        return fmodel.apply(fv, x)
+        @jax.jit
+        def fwd(fv, x):
+            return folded_forward_tier1(fv["params"], x, ModelConfig())
+    else:
+        @jax.jit
+        def fwd(fv, x):
+            return fmodel.apply(fv, x)
 
-    x = jnp.asarray(np.random.RandomState(0).rand(16, 512, 512, 1), jnp.bfloat16)
+    x = jnp.asarray(np.random.RandomState(0).rand(16, size, size, 1), jnp.bfloat16)
     float(fwd(fvars, x).sum())  # compile+warm
     with jax.profiler.trace(tmpdir):
         for _ in range(3):
@@ -123,10 +129,13 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "forward"
     tmpdir = f"/tmp/prof_{mode}"
     os.system(f"rm -rf {tmpdir}")
+    size = int(os.environ.get("PROF_SIZE", "512"))
     if mode == "trainstep":
         run_trainstep(tmpdir, augment=False)
     elif mode == "trainstep-aug":
         run_trainstep(tmpdir, augment=True)
+    elif mode == "forward-lanes":
+        run_forward(tmpdir, size=size, lanes=True)
     else:
-        run_forward(tmpdir)
+        run_forward(tmpdir, size=size)
     parse(tmpdir)

@@ -89,6 +89,24 @@ class Predictor:
             )
             self._variables = fvars
             apply_fn = lambda v, x: fmodel.apply(v, x)
+            if self._use_lanes_net():
+                # Tier-1 lanes-native forward (infer/lanes_net.py): Pallas
+                # kernels for the stages XLA runs below roofline. Pallas
+                # calls can't be GSPMD-partitioned, so single-device only;
+                # shapes are static under jit, so the geometry check happens
+                # per traced input size with FoldedUNet as the fallback.
+                from unetseg_tpu.infer.lanes_net import (
+                    folded_forward_tier1,
+                    supports,
+                )
+
+                cfg = self.model.cfg
+                base_apply = apply_fn
+
+                def apply_fn(v, x):
+                    if x.shape[1] == x.shape[2] and supports(cfg, x.shape[1]):
+                        return folded_forward_tier1(v["params"], x, cfg)
+                    return base_apply(v, x)
         else:
             self._variables = {
                 "params": self.params, "batch_stats": self.batch_stats
@@ -115,6 +133,11 @@ class Predictor:
         self._probs_fn = lambda images: _probs(self._variables, images)
         self._tiled_cache = {}
         self._labels_fn = None  # lazily-built device-CC program
+
+    def _use_lanes_net(self) -> bool:
+        if os.environ.get("UNETSEG_LANES_NET", "1") == "0":
+            return False
+        return jax.default_backend() == "tpu" and self.mesh is None
 
     # ------------------------------------------------------------- forward
     def probs(self, images: np.ndarray) -> jnp.ndarray:

@@ -135,13 +135,24 @@ def _kernel_v2(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
                     )
 
 
-def _lane_block(total_lanes: int, item_stride: int) -> int:
-    """Largest item-aligned lane block <= MAX_LANES that divides the total."""
+def _lane_block(total_lanes: int, item_stride: int,
+                max_lanes: int = MAX_LANES) -> int:
+    """Largest item-aligned lane block <= max_lanes that divides the total."""
     n_items = total_lanes // item_stride
-    ipb = max(1, min(n_items, MAX_LANES // item_stride))
+    ipb = max(1, min(n_items, max_lanes // item_stride))
     while n_items % ipb:
         ipb -= 1
     return item_stride * ipb
+
+
+VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+
+
+def _lane_budget(bytes_per_lane: int) -> int:
+    """Lane-block cap from a per-lane VMEM cost (scratch windows, double-
+    buffered output blocks, f32 dot results): Mosaic's scoped-vmem limit is
+    16 MB and exceeding it is a compile error, not a slowdown."""
+    return max(128, min(MAX_LANES, VMEM_BUDGET // max(1, bytes_per_lane)))
 
 
 def _rows_per_dot(ci: int) -> int:
@@ -180,7 +191,9 @@ def conv3x3_lanes(x, w_hwio, scale, bias, item_stride: int,
     h_pad = (nby - 1) * TH + WIN
     if h_pad > h:
         x = jnp.pad(x, ((0, h_pad - h), (0, 0), (0, 0)))
-    lb = _lane_block(lanes, item_stride)
+    isz = x.dtype.itemsize
+    bpl = (2 * WIN * ci + 2 * TH * co) * isz + 3 * co * 4
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
     nbl = lanes // lb
 
     if pipelined:
@@ -310,7 +323,11 @@ def conv3x3_phase2(x, w_hwio, scale, bias, item_stride: int,
     h_pad = (nby - 1) * TH + WIN
     if h_pad > h:
         x = jnp.pad(x, ((0, h_pad - h), (0, 0), (0, 0)))
-    lb = _lane_block(lanes, item_stride)
+    isz = x.dtype.itemsize
+    bpl = (2 * WIN * ci2 + 2 * TH * 2 * co) * isz + 2 * 2 * co * 4
+    if fuse_pool:
+        bpl += 2 * (TH // 2) * co * isz
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
     nbl = lanes // lb
 
     w_all = pack_w_phase2(w_hwio.astype(x.dtype))
@@ -444,7 +461,9 @@ def tconv2x2_phase2(x, w_hwio, bias, item_stride: int,
     nby = -(-h // th_in)
     if nby * th_in > h:
         x = jnp.pad(x, ((0, nby * th_in - h), (0, 0), (0, 0)))
-    lb = _lane_block(lanes, item_stride)
+    isz = x.dtype.itemsize
+    bpl = (2 * th_in * ci + 2 * 2 * th_in * 2 * co) * isz + 4 * co * 4
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
     nbl = lanes // lb
     w_all = pack_w_tconv(w_hwio.astype(x.dtype))
     b2 = jnp.concatenate([bias, bias], axis=0)
@@ -557,7 +576,9 @@ def dec_conv0_phase2(skip, up, w_hwio, scale, bias, item_stride: int,
     need_u = (nby - 1) * TH + WIN
     if need_u > h_u:
         up = jnp.pad(up, ((0, need_u - h_u), (0, 0), (0, 0)))
-    lb = _lane_block(lanes, item_stride)
+    isz = up.dtype.itemsize
+    bpl = (2 * WIN * (cis2 + ciu2) + 2 * TH * 2 * co) * isz + 2 * 2 * 2 * co * 4
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
     nbl = lanes // lb
 
     dtype = up.dtype
