@@ -61,13 +61,14 @@ def main() -> int:
     variables = fast_random_variables(model, jax.random.key(0), input_size=size)
     fmodel, fvars = fold_batchnorm(ModelConfig(), variables)
 
-    # Tier-1 lanes-native forward (Pallas kernels for the stages XLA runs
-    # below roofline — infer/lanes_net.py); UNETSEG_LANES_NET=0 disables.
+    # Tier-1 lanes-native forward (infer/lanes_net.py) — opt-in via
+    # UNETSEG_LANES_NET=1: at the 700-tile geometry it measured 52.98 vs
+    # 55.41 MPix/s for plain XLA, so XLA stays the default.
     from unetseg_tpu.infer.lanes_net import folded_forward_tier1, supports
 
     use_lanes = (
         jax.default_backend() == "tpu"
-        and os.environ.get("UNETSEG_LANES_NET", "1") != "0"
+        and os.environ.get("UNETSEG_LANES_NET", "0") == "1"
         and supports(ModelConfig(), tile_in)
     )
     if use_lanes:
