@@ -61,14 +61,14 @@ def main() -> int:
     variables = fast_random_variables(model, jax.random.key(0), input_size=size)
     fmodel, fvars = fold_batchnorm(ModelConfig(), variables)
 
-    # Tier-1 lanes-native forward (infer/lanes_net.py) — opt-in via
-    # UNETSEG_LANES_NET=1: at the 700-tile geometry it measured 52.98 vs
-    # 55.41 MPix/s for plain XLA, so XLA stays the default.
+    # Tier-1 lanes-native forward (infer/lanes_net.py), on TPU by default:
+    # 61.66 vs 55.41 MPix/s for plain XLA at the 700-tile geometry
+    # (UNETSEG_LANES_NET=0 reverts to the XLA folded forward).
     from unetseg_tpu.infer.lanes_net import folded_forward_tier1, supports
 
     use_lanes = (
         jax.default_backend() == "tpu"
-        and os.environ.get("UNETSEG_LANES_NET", "0") == "1"
+        and os.environ.get("UNETSEG_LANES_NET", "1") == "1"
         and supports(ModelConfig(), tile_in)
     )
     if use_lanes:

@@ -135,7 +135,7 @@ class Predictor:
         self._labels_fn = None  # lazily-built device-CC program
 
     def _use_lanes_net(self) -> bool:
-        if os.environ.get("UNETSEG_LANES_NET", "0") != "1":
+        if os.environ.get("UNETSEG_LANES_NET", "1") != "1":
             return False
         return jax.default_backend() == "tpu" and self.mesh is None
 

@@ -119,19 +119,31 @@ def folded_forward_tier1(
         return p["kernel"], p["bias"].reshape(-1, 1)
 
     # ---- encoder level 0: 2-phase lanes, pool fused ----
-    xp = jnp.pad(x.astype(dtype), ((0, 0), (0, 0), (0, 0), (0, 3)))
+    # Pad rows ONCE at ingest (to the first conv's window need + a little
+    # slack); downstream kernels run the valid-rows protocol (raw_rows) —
+    # jnp.pad/slice between kernels are full-tensor copies, ~2.5 ms each at
+    # bench shapes (profiled), so garbage tail rows flow through instead.
+    need0 = (-(-(s - 2) // 8) - 1) * 8 + 10
+    xp = x.astype(dtype)
+    if need0 > s:
+        xp = jnp.pad(xp, ((0, 0), (0, need0 - s), (0, 0), (0, 0)))
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, 3)))
     k0, b0 = cb(params["enc0"]["conv0"])
     k0 = jnp.pad(k0, ((0, 0), (0, 0), (0, 3), (0, 0)))
     xl = to_lanes_p2(xp)
     if xl.shape[-1] != b * st0:  # width pad in to_lanes_p2 keeps stride
         raise ValueError("stride mismatch in ingest")
-    h = conv3x3_phase2(xl, k0, one(f0), b0, st0, interpret=interpret)
+    h = conv3x3_phase2(
+        xl, k0, one(f0), b0, st0, interpret=interpret,
+        h_valid=s, raw_rows=True,
+    )
     k1, b1 = cb(params["enc0"]["conv1"])
     skip0, pooled = conv3x3_phase2(
-        h, k1, one(f0), b1, st0, interpret=interpret, fuse_pool=True
+        h, k1, one(f0), b1, st0, interpret=interpret, fuse_pool=True,
+        h_valid=s - 2, raw_rows=True,
     )
     wp0 = (s - 4) // 2
-    x1 = from_lanes(pooled, b, wp0)  # NHWC (B, wp0, wp0, f0)
+    x1 = from_lanes(pooled[:wp0], b, wp0)  # NHWC (B, wp0, wp0, f0)
 
     # ---- middle: NHWC (XLA is at/near roofline here) ----
     skips = []
@@ -166,18 +178,22 @@ def folded_forward_tier1(
         tl = to_lanes(xm)
     pu = params[f"up{dlast}_tconv"]
     up_l = tconv2x2_phase2(
-        tl, pu["kernel"], pu["bias"].reshape(-1, 1), st0, interpret=interpret
-    )[: up_w]
+        tl, pu["kernel"], pu["bias"].reshape(-1, 1), st0,
+        interpret=interpret, raw_rows=True,
+    )
 
     row_off = (sh.encoder[0] - up_w) // 2
     kd0, bd0 = cb(params[f"dec{dlast}"]["conv0"])
     y = dec_conv0_phase2(
         skip0, up_l, kd0, one(f0), bd0, st0,
         out_rows=up_w - 2, row_off=row_off, lane_off=row_off // 2,
-        interpret=interpret,
+        interpret=interpret, raw_rows=True,
     )
     kd1, bd1 = cb(params[f"dec{dlast}"]["conv1"])
-    y = conv3x3_phase2(y, kd1, one(f0), bd1, st0, interpret=interpret)
+    y = conv3x3_phase2(
+        y, kd1, one(f0), bd1, st0, interpret=interpret,
+        h_valid=up_w - 2, raw_rows=True,
+    )
 
     # ---- 1x1 head in lanes (bf16 operands, f32 accumulation) ----
     ko = params["outc"]["kernel"].reshape(f0, -1)
@@ -192,6 +208,6 @@ def folded_forward_tier1(
             preferred_element_type=jnp.float32,
         )  # contract the channel dim -> (nc, H, L)
         logits.append(jnp.moveaxis(lp, 0, 1))  # (H, nc, L)
-    ll = jnp.concatenate(logits, axis=1)  # (H, 2*nc, L)
+    ll = jnp.concatenate(logits, axis=1)[: sh.output_size]  # (H, 2*nc, L)
     ll = ll + jnp.tile(bo, 2)[None, :, None]
     return from_lanes_p2(ll, b, sh.output_size).astype(jnp.float32)

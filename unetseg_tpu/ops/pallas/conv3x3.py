@@ -303,22 +303,31 @@ def pack_w_phase2(w_hwio: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("item_stride", "relu", "interpret", "fuse_pool"),
+    static_argnames=("item_stride", "relu", "interpret", "fuse_pool",
+                     "h_valid", "raw_rows"),
 )
 def conv3x3_phase2(x, w_hwio, scale, bias, item_stride: int,
                    relu: bool = True, interpret: bool = False,
-                   fuse_pool: bool = False):
+                   fuse_pool: bool = False, h_valid: int = 0,
+                   raw_rows: bool = False):
     """Fused 3x3 VALID conv (+ affine + ReLU) in the 2-phase lanes layout.
 
     x: (H, 2*CI, L) phase-stacked (see to_lanes_p2); scale/bias (CO, 1).
     Returns (H-2 padded to TH, 2*CO, L); with fuse_pool also the 2x2
     max-pooled DENSE 1-phase tensor ((H-2)//2 padded, CO, L) — pooling a
     2-phase tensor is elementwise (row pair max + phase pair max; the pooled
-    column j IS lane j), so it rides the conv epilogue for free."""
+    column j IS lane j), so it rides the conv epilogue for free.
+
+    Valid-rows protocol (the tier-1 net): h_valid marks how many leading
+    rows of x are real; with raw_rows=True the output keeps one spare TH
+    block of garbage tail rows and is NOT sliced — a full-tensor jnp.pad on
+    entry and slice-copy on exit cost ~2.5 ms EACH at the bench shapes
+    (profiled), so the chain pads once at ingest and slices once at exit."""
     h, ci2, lanes = x.shape
     ci = ci2 // 2
     co = w_hwio.shape[3]
-    ho = h - 2
+    hv = h_valid or h
+    ho = hv - 2
     nby = -(-ho // TH)
     h_pad = (nby - 1) * TH + WIN
     if h_pad > h:
@@ -333,10 +342,11 @@ def conv3x3_phase2(x, w_hwio, scale, bias, item_stride: int,
     w_all = pack_w_phase2(w_hwio.astype(x.dtype))
     s2 = jnp.concatenate([scale, scale], axis=0)
     b2 = jnp.concatenate([bias, bias], axis=0)
+    spare = TH if raw_rows else 0
     out_specs = pl.BlockSpec(
         (TH, 2 * co, lb), lambda by, bl: (by, 0, bl), memory_space=pltpu.VMEM
     )
-    out_shape = jax.ShapeDtypeStruct((nby * TH, 2 * co, lanes), x.dtype)
+    out_shape = jax.ShapeDtypeStruct((nby * TH + spare, 2 * co, lanes), x.dtype)
     if fuse_pool:
         def kernel_fp(x_ref, w_ref, s_ref, b_ref, out_ref, pool_ref,
                       win_ref, sem):
@@ -364,7 +374,9 @@ def conv3x3_phase2(x, w_hwio, scale, bias, item_stride: int,
             ),
             out_shape=(
                 out_shape,
-                jax.ShapeDtypeStruct((nby * TH // 2, co, lanes), x.dtype),
+                jax.ShapeDtypeStruct(
+                    (nby * TH // 2 + spare // 2, co, lanes), x.dtype
+                ),
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, WIN, ci2, lb), x.dtype),
@@ -372,6 +384,8 @@ def conv3x3_phase2(x, w_hwio, scale, bias, item_stride: int,
             ],
             interpret=interpret,
         )(x, w_all, s2, b2)
+        if raw_rows:
+            return out, pooled
         return out[:ho], pooled[: ho // 2]
 
     def kernel_plain(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem):
@@ -398,7 +412,7 @@ def conv3x3_phase2(x, w_hwio, scale, bias, item_stride: int,
         ],
         interpret=interpret,
     )(x, w_all, s2, b2)
-    return out[:ho]
+    return out if raw_rows else out[:ho]
 
 
 def _kernel_tconv(x_ref, w_ref, b_ref, out_ref, win_ref, sem,
@@ -450,15 +464,21 @@ def pack_w_tconv(w_hwio: jnp.ndarray) -> jnp.ndarray:
     return w_hwio[::-1, ::-1].transpose(0, 1, 3, 2).reshape(4 * co, ci)
 
 
-@functools.partial(jax.jit, static_argnames=("item_stride", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("item_stride", "interpret", "h_valid", "raw_rows"),
+)
 def tconv2x2_phase2(x, w_hwio, bias, item_stride: int,
-                    interpret: bool = False):
+                    interpret: bool = False, h_valid: int = 0,
+                    raw_rows: bool = False):
     """k=2 s=2 VALID transposed conv: dense lanes (H, CI, L) -> 2-phase
-    (2*H, 2*CO, L) at the same stride. bias: (CO, 1)."""
+    (2*H, 2*CO, L) at the same stride. bias: (CO, 1). h_valid/raw_rows: see
+    conv3x3_phase2's valid-rows protocol."""
     h, ci, lanes = x.shape
+    hv = h_valid or h
     co = w_hwio.shape[3]
     th_in = TH // 2
-    nby = -(-h // th_in)
+    nby = -(-hv // th_in)
     if nby * th_in > h:
         x = jnp.pad(x, ((0, nby * th_in - h), (0, 0), (0, 0)))
     isz = x.dtype.itemsize
@@ -467,6 +487,7 @@ def tconv2x2_phase2(x, w_hwio, bias, item_stride: int,
     nbl = lanes // lb
     w_all = pack_w_tconv(w_hwio.astype(x.dtype))
     b2 = jnp.concatenate([bias, bias], axis=0)
+    spare = TH if raw_rows else 0
     kernel = functools.partial(
         _kernel_tconv, lb=lb, ci=ci, co=co, nby=nby, nbl=nbl, th_in=th_in
     )
@@ -482,14 +503,16 @@ def tconv2x2_phase2(x, w_hwio, bias, item_stride: int,
             (2 * th_in, 2 * co, lb), lambda by, bl: (by, 0, bl),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((2 * nby * th_in, 2 * co, lanes), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (2 * nby * th_in + spare, 2 * co, lanes), x.dtype
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, th_in, ci, lb), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x, w_all, b2)
-    return out[: 2 * h]
+    return out if raw_rows else out[: 2 * hv]
 
 
 def _kernel_dec0(skip_ref, up_ref, ws_ref, wu_ref, s_ref, b_ref, out_ref,
@@ -505,34 +528,37 @@ def _kernel_dec0(skip_ref, up_ref, ws_ref, wu_ref, s_ref, b_ref, out_ref,
     bl = pl.program_id(1)
     step = by * nbl + bl
 
-    def dma(ref, win, sem_idx, slot, stp, roff, ci2):
-        del ci2
+    def dma_skip(stp):
+        # single-buffered: issued at step start, waited right before use —
+        # halves the scratch bill so the lane block can double
         return pltpu.make_async_copy(
-            ref.at[pl.ds(roff + (stp // nbl) * TH, WIN), :,
-                   pl.ds((stp % nbl) * lb, lb)],
-            win.at[slot],
-            sems.at[sem_idx, slot],
+            skip_ref.at[pl.ds(row_off + (stp // nbl) * TH, WIN), :,
+                        pl.ds((stp % nbl) * lb, lb)],
+            wins_ref,
+            sems.at[0, 0],
         )
 
-    def both(slot, stp):
-        return (
-            dma(skip_ref, wins_ref, 0, slot, stp, row_off, cis2),
-            dma(up_ref, winu_ref, 1, slot, stp, 0, ciu2),
+    def dma_up(slot, stp):
+        return pltpu.make_async_copy(
+            up_ref.at[pl.ds((stp // nbl) * TH, WIN), :,
+                      pl.ds((stp % nbl) * lb, lb)],
+            winu_ref.at[slot],
+            sems.at[1, slot],
         )
+
+    dma_skip(step).start()
 
     @pl.when(step == 0)
     def _():
-        for d in both(0, 0):
-            d.start()
+        dma_up(0, 0).start()
 
     @pl.when(step + 1 < nby * nbl)
     def _():
-        for d in both((step + 1) % 2, step + 1):
-            d.start()
+        dma_up((step + 1) % 2, step + 1).start()
 
-    for d in both(step % 2, step):
-        d.wait()
-    wins = wins_ref.at[step % 2]
+    dma_up(step % 2, step).wait()
+    dma_skip(step).wait()
+    wins = wins_ref
     winu = winu_ref.at[step % 2]
 
     for r in range(TH):
@@ -552,11 +578,12 @@ def _kernel_dec0(skip_ref, up_ref, ws_ref, wu_ref, s_ref, b_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("item_stride", "out_rows", "row_off", "lane_off",
-                     "relu", "interpret"),
+                     "relu", "interpret", "raw_rows"),
 )
 def dec_conv0_phase2(skip, up, w_hwio, scale, bias, item_stride: int,
                      out_rows: int, row_off: int, lane_off: int,
-                     relu: bool = True, interpret: bool = False):
+                     relu: bool = True, interpret: bool = False,
+                     raw_rows: bool = False):
     """First decoder conv of a block: conv3x3(concat(crop(skip), up)).
 
     skip: (H_s, 2*CI_s, L) 2-phase; up: (H_u, 2*CI_u, L) 2-phase, same L.
@@ -577,7 +604,7 @@ def dec_conv0_phase2(skip, up, w_hwio, scale, bias, item_stride: int,
     if need_u > h_u:
         up = jnp.pad(up, ((0, need_u - h_u), (0, 0), (0, 0)))
     isz = up.dtype.itemsize
-    bpl = (2 * WIN * (cis2 + ciu2) + 2 * TH * 2 * co) * isz + 2 * 2 * 2 * co * 4
+    bpl = (WIN * cis2 + 2 * WIN * ciu2 + 2 * TH * 2 * co) * isz + 2 * 2 * 2 * co * 4
     lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
     nbl = lanes // lb
 
@@ -586,6 +613,7 @@ def dec_conv0_phase2(skip, up, w_hwio, scale, bias, item_stride: int,
     w_u = pack_w_phase2(w_hwio[:, :, cis:].astype(dtype))
     s2 = jnp.concatenate([scale, scale], axis=0)
     b2 = jnp.concatenate([bias, bias], axis=0)
+    spare = TH if raw_rows else 0
     kernel = functools.partial(
         _kernel_dec0, relu=relu, lb=lb, cis2=cis2, ciu2=ciu2, co2=2 * co,
         nby=nby, nbl=nbl, row_off=row_off, lane_off=lane_off,
@@ -599,15 +627,15 @@ def dec_conv0_phase2(skip, up, w_hwio, scale, bias, item_stride: int,
             (TH, 2 * co, lb), lambda by, bl: (by, 0, bl),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((nby * TH, 2 * co, lanes), dtype),
+        out_shape=jax.ShapeDtypeStruct((nby * TH + spare, 2 * co, lanes), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN, cis2, lb), dtype),
+            pltpu.VMEM((WIN, cis2, lb), dtype),
             pltpu.VMEM((2, WIN, ciu2, lb), dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(skip, up, w_s, w_u, s2, b2)
-    return out[:out_rows]
+    return out if raw_rows else out[:out_rows]
 
 
 def to_lanes_p2(x_nhwc: jnp.ndarray) -> jnp.ndarray:
