@@ -1,0 +1,96 @@
+"""Training-mode lanes conv (ops/pallas/conv3x3_train.py): custom-VJP
+gradients vs jax autodiff of lax.conv (interpret mode, f32)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unetseg_tpu.ops.pallas.conv3x3 import (
+    from_lanes_p2,
+    lane_stride,
+    to_lanes_p2,
+)
+from unetseg_tpu.ops.pallas.conv3x3_train import make_conv_p2_train
+
+
+def _setup(n=21, ci=8, co=16, seed=10):
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(rs.rand(2, n, n, ci).astype(np.float32))
+    w = jnp.asarray((rs.rand(3, 3, ci, co) - 0.5).astype(np.float32) * 0.2)
+    bb = jnp.asarray((rs.rand(co) - 0.5).astype(np.float32))
+    ct = jnp.asarray(rs.rand(2, n - 2, n - 2, co).astype(np.float32))
+    return x, w, bb, ct
+
+
+def test_conv_p2_train_grads_match_lax():
+    n = 21
+    x, w, bb, ct = _setup(n)
+    stride = lane_stride(-(-n // 2))
+    conv = make_conv_p2_train(stride, h_valid=n, interpret=True)
+
+    def loss_lanes(x, w, bb):
+        z = conv(to_lanes_p2(x), w, bb)
+        zv = from_lanes_p2(z[: n - 2], 2, n - 2)
+        return jnp.sum(zv * ct)
+
+    def loss_ref(x, w, bb):
+        z = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bb
+        return jnp.sum(z * ct)
+
+    g_lanes = jax.grad(loss_lanes, argnums=(0, 1, 2))(x, w, bb)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, bb)
+    for got, ref, name, tol in zip(
+        g_lanes, g_ref, ("dx", "dw", "db"), (2e-4, 3e-3, 3e-3)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=tol, rtol=1e-4,
+            err_msg=name,
+        )
+
+
+def test_conv_p2_train_forward_matches_lax():
+    n = 20  # even width: uneven phase lanes on the output
+    x, w, bb, ct = _setup(n, seed=11)
+    stride = lane_stride(-(-n // 2))
+    conv = make_conv_p2_train(stride, h_valid=n, interpret=True)
+    z = conv(to_lanes_p2(x), w, bb)
+    got = from_lanes_p2(z[: n - 2], 2, n - 2)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bb
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_conv_p2_train_grads_with_garbage_tail():
+    """Gradients are exact even when the input buffer carries garbage tail
+    rows (the raw-rows protocol) — the masks must keep it out of dW."""
+    n = 21
+    x, w, bb, ct = _setup(n, seed=12)
+    stride = lane_stride(-(-n // 2))
+    conv = make_conv_p2_train(stride, h_valid=n, interpret=True)
+    xl = to_lanes_p2(x)
+    garbage = jnp.full((5, xl.shape[1], xl.shape[2]), jnp.nan, xl.dtype)
+    xl_g = jnp.concatenate([xl, garbage], axis=0)
+
+    def loss(w, bb):
+        z = conv(xl_g, w, bb)
+        zv = from_lanes_p2(z[: n - 2], 2, n - 2)
+        return jnp.sum(zv * ct)
+
+    dw, db = jax.grad(loss, argnums=(0, 1))(w, bb)
+    assert np.isfinite(np.asarray(dw)).all()
+    assert np.isfinite(np.asarray(db)).all()
+
+    def loss_ref(w, bb):
+        z = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bb
+        return jnp.sum(z * ct)
+
+    dw_ref, db_ref = jax.grad(loss_ref, argnums=(0, 1))(w, bb)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=3e-3,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), atol=3e-3,
+                               rtol=1e-4)

@@ -27,6 +27,13 @@ VARIANTS = {
     "nothing": dict(augment=False, remat="nothing"),
     "dots-aug": dict(augment=True, aug_gamma=0.2, aug_illum=0.15, aug_noise=0.03,
                      standardize=True, remat="dots"),
+    "lanes": dict(augment=False, lanes=True),
+    "lanes-dots": dict(augment=False, lanes=True, remat="dots"),
+    "lanes-aug": dict(augment=True, aug_gamma=0.2, aug_illum=0.15,
+                      aug_noise=0.03, standardize=True, lanes=True),
+    "lanes-dots-aug": dict(augment=True, aug_gamma=0.2, aug_illum=0.15,
+                           aug_noise=0.03, standardize=True, lanes=True,
+                           remat="dots"),
 }
 
 

@@ -1,0 +1,357 @@
+"""Lanes-native TRAINING forward for the hot U-Net stages.
+
+The batch-4 512-pixel train step spends 25 ms in enc0 and 12 ms in dec3
+(of ~67 ms) — mostly layout churn XLA's conv lowering forces on the
+BN/ReLU/residual traffic around the convs, not conv FLOPs
+(tools/profile_step.py trainstep; docs/PARITY.md). This module runs those
+stages in the 2-phase lanes layout:
+
+- convs: ops/pallas/conv3x3_train.make_conv_p2_train (custom VJP, Pallas
+  forward + dx/dW kernels);
+- BatchNorm: bit-matching MaskedBatchNorm semantics (one-pass fp32
+  E[x^2]-E[x]^2 over item-masked pixels, torch-unbiased running update) as
+  plain XLA reductions/elementwise on the lanes arrays — with no conv
+  lowering nearby these stay trivially laid out;
+- pool / crop / concat: major-dim slices, channel-block max, lane rolls;
+- the up-path tconv: Pallas forward (tconv2x2_phase2), XLA backward via
+  custom VJP (the k=2 s=2 tconv backward is a pure channel contraction in
+  lanes — row interleaving is a free major-dim reshape).
+
+The middle of the network (enc1..enc4, dec0..dec2) stays exactly the Flax
+modules' math in NHWC, reimplemented functionally over the SAME parameter
+tree — parity with UNet.apply(train=True) is pinned by
+tests/test_lanes_train.py. reference: models/unet_model.py:105-146.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unetseg_tpu.core.config import ModelConfig
+from unetseg_tpu.models.shapes import unet_shapes
+from unetseg_tpu.models.unet import center_crop_nhwc
+from unetseg_tpu.ops.pallas.conv3x3 import (
+    from_lanes,
+    from_lanes_p2,
+    lane_stride,
+    tconv2x2_phase2,
+    to_lanes,
+    to_lanes_p2,
+)
+from unetseg_tpu.ops.pallas.conv3x3_train import make_conv_p2_train
+
+
+# --------------------------------------------------------------------- BN
+def _bn_stats_lanes(z, nch, h_valid, w_valid, item_mask, item_stride):
+    """Masked one-pass fp32 batch statistics of a (Hbuf, 2*nch, L) lanes
+    tensor. Returns (mean, var, n) — MaskedBatchNorm math exactly
+    (models/unet.py:114-138)."""
+    n_items = z.shape[2] // item_stride
+    lane_ids = jnp.arange(item_stride)
+    m0 = jnp.broadcast_to(
+        (lane_ids < -(-w_valid // 2))[None, :], (n_items, item_stride)
+    )
+    m1 = jnp.broadcast_to(
+        (lane_ids < w_valid // 2)[None, :], (n_items, item_stride)
+    )
+    im = item_mask[:, None] if item_mask is not None else jnp.ones(
+        (n_items, 1), bool
+    )
+    w0 = (m0 & im).reshape(-1)
+    w1 = (m1 & im).reshape(-1)
+    zv = z[:h_valid]
+    z0 = jnp.where(w0[None, None, :], zv[:, :nch], 0)
+    z1 = jnp.where(w1[None, None, :], zv[:, nch:], 0)
+    s = jnp.sum(z0, axis=(0, 2), dtype=jnp.float32) + jnp.sum(
+        z1, axis=(0, 2), dtype=jnp.float32
+    )
+    sq = jnp.sum(jnp.square(z0), axis=(0, 2), dtype=jnp.float32) + jnp.sum(
+        jnp.square(z1), axis=(0, 2), dtype=jnp.float32
+    )
+    if item_mask is None:
+        n = jnp.float32(n_items * h_valid * w_valid)
+    else:
+        n = jnp.maximum(
+            jnp.sum(item_mask.astype(jnp.float32)) * h_valid * w_valid, 1.0
+        )
+    mean = s / n
+    var = jnp.maximum(sq / n - jnp.square(mean), 0.0)
+    return mean, var, n
+
+
+def _bn_relu_lanes(z, p_bn, stats, h_valid, w_valid, item_mask, item_stride,
+                   momentum, eps, relu=True):
+    """BN (training stats) + ReLU on a lanes tensor; returns the activation
+    and the updated running stats {mean, var}."""
+    nch = p_bn["scale"].shape[0]
+    # rows past h_valid can be uninitialized memory (raw-rows spare blocks);
+    # zero them with a where so NaN can't leak into the scale/mean/var
+    # gradients through the full-buffer normalize below (NaN * 0 == NaN)
+    z = jnp.where((jnp.arange(z.shape[0]) < h_valid)[:, None, None], z, 0)
+    mean, var, n = _bn_stats_lanes(
+        z, nch, h_valid, w_valid, item_mask, item_stride
+    )
+    unbias = n / jnp.maximum(n - 1.0, 1.0)
+    new_stats = {
+        "mean": momentum * stats["mean"] + (1 - momentum) * mean,
+        "var": momentum * stats["var"] + (1 - momentum) * var * unbias,
+    }
+    inv = jax.lax.rsqrt(var + eps)
+    a = p_bn["scale"] * inv
+    b = p_bn["bias"] - mean * a
+    a2 = jnp.concatenate([a, a])
+    b2 = jnp.concatenate([b, b])
+    if z.dtype != jnp.float32:
+        a2, b2 = a2.astype(z.dtype), b2.astype(z.dtype)
+    y = z * a2[None, :, None] + b2[None, :, None]
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y, new_stats
+
+
+def _pool_lanes_p2(x, nch, h_valid):
+    """2x2 max pool of a 2-phase lanes tensor -> dense 1-phase (rows halve
+    via major-dim strided slices, columns via the phase-pair max; pooled
+    column j IS lane j)."""
+    hp = (h_valid - 0) // 2
+    a = x[0 : 2 * hp : 2]
+    b = x[1 : 2 * hp : 2]
+    m = jnp.maximum(a, b)
+    return jnp.maximum(m[:, :nch], m[:, nch:])
+
+
+# ------------------------------------------------------------------ tconv
+def make_tconv_p2_train(item_stride: int, interpret: bool = False):
+    """Training k=2 s=2 tconv: Pallas forward (dense 1-phase in, 2-phase
+    out), XLA backward — in lanes both gradients are pure channel
+    contractions (row interleave is a free major-dim reshape)."""
+
+    @jax.custom_vjp
+    def tconv(x, w, b):
+        return tconv2x2_phase2(
+            x, w, b.reshape(-1, 1), item_stride, interpret=interpret,
+            raw_rows=True,
+        )
+
+    def fwd(x, w, b):
+        return tconv(x, w, b), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        ci, co = w.shape[2], w.shape[3]
+        h = x.shape[0]
+        # g buffer: rows (2*nby*th_in + spare); use the 2*h valid rows.
+        # Wf[dy,dx,ci,co] = w[1-dy,1-dx] (flax flip, see pack_w_tconv):
+        # out[2r+dy, phase dx] = Wf[dy,dx] . x[r] -> fold (dy, dx, co) into
+        # one contraction axis of size 4*co via a major-dim reshape of g.
+        gv = g[: 2 * h]
+        g4 = gv.reshape(h, 2, 2 * co, gv.shape[2]).reshape(
+            h, 4 * co, gv.shape[2]
+        )
+        wf = w[::-1, ::-1]  # (dy, dx, ci, co) as applied
+        wm = wf.transpose(2, 0, 1, 3).reshape(ci, 4 * co)
+        dx = jax.lax.dot_general(
+            wm, g4, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (ci, h, L)
+        dx = jnp.moveaxis(dx, 0, 1).astype(x.dtype)
+        # dW: contract over rows and lanes; garbage lanes/rows of g must
+        # already be zeroed by the caller-side mask in the block assembly
+        dwm = jax.lax.dot_general(
+            x, g4, (((0, 2), (0, 2)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (ci, 4*co)
+        dwf = dwm.reshape(ci, 2, 2, co).transpose(1, 2, 0, 3)
+        dw = dwf[::-1, ::-1]
+        db4 = jnp.sum(g4, axis=(0, 2), dtype=jnp.float32).reshape(2, 2, co)
+        db = jnp.sum(db4, axis=(0, 1))
+        return dx, dw.astype(w.dtype), db.astype(jnp.float32)
+
+    tconv.defvjp(fwd, bwd)
+    return tconv
+
+
+# --------------------------------------------------------- NHWC middle ops
+def _conv_bn_relu_nhwc(x, p_conv, p_bn, stats, item_mask, momentum, eps,
+                       dtype):
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), p_conv["kernel"].astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    ) + p_conv["bias"].astype(dtype)
+    if item_mask is None:
+        mean = jnp.mean(y, axis=(0, 1, 2), dtype=jnp.float32)
+        mean_sq = jnp.mean(jnp.square(y), axis=(0, 1, 2), dtype=jnp.float32)
+        n = jnp.float32(y.shape[0] * y.shape[1] * y.shape[2])
+    else:
+        wm = item_mask.astype(y.dtype)[:, None, None, None]
+        n = jnp.maximum(
+            jnp.sum(item_mask.astype(jnp.float32)) * y.shape[1] * y.shape[2],
+            1.0,
+        )
+        mean = jnp.sum(y * wm, axis=(0, 1, 2), dtype=jnp.float32) / n
+        mean_sq = jnp.sum(
+            jnp.square(y) * wm, axis=(0, 1, 2), dtype=jnp.float32
+        ) / n
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    unbias = n / jnp.maximum(n - 1.0, 1.0)
+    new_stats = {
+        "mean": momentum * stats["mean"] + (1 - momentum) * mean,
+        "var": momentum * stats["var"] + (1 - momentum) * var * unbias,
+    }
+    inv = jax.lax.rsqrt(var + eps)
+    a = p_bn["scale"] * inv
+    b = p_bn["bias"] - mean * a
+    if y.dtype != jnp.float32:
+        a, b = a.astype(y.dtype), b.astype(y.dtype)
+    return jnp.maximum(y * a + b, 0), new_stats
+
+
+def _block_nhwc(x, p, st, item_mask, momentum, eps, dtype):
+    new_st = {}
+    for i in range(2):
+        x, new_st[f"bn{i}"] = _conv_bn_relu_nhwc(
+            x, p[f"conv{i}"], p[f"bn{i}"], st[f"bn{i}"], item_mask,
+            momentum, eps, dtype,
+        )
+    return x, new_st
+
+
+# ----------------------------------------------------------- full forward
+def train_forward_lanes(
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    x: jnp.ndarray,
+    model_cfg: ModelConfig,
+    item_mask: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Training forward == UNet.apply(train=True, mutable=['batch_stats'])
+    with enc0 and up3/dec3 in the 2-phase lanes layout.
+
+    x: (B, S, S, 1); returns (logits f32, new_batch_stats)."""
+    cfg = model_cfg
+    dtype = jnp.dtype(cfg.compute_dtype)
+    mom, eps = cfg.bn_momentum, cfg.bn_epsilon
+    b, s = x.shape[0], x.shape[1]
+    sh = unet_shapes(s, cfg.levels)
+    f0 = cfg.base_features
+    st0 = lane_stride(-(-s // 2))
+    new_stats: Dict[str, Any] = {}
+
+    # ---- enc0 in lanes ----
+    need0 = (-(-(s - 2) // 8) - 1) * 8 + 10
+    xp = x.astype(dtype)
+    if need0 > s:
+        xp = jnp.pad(xp, ((0, 0), (0, need0 - s), (0, 0), (0, 0)))
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, 3)))
+    k0 = jnp.pad(params["enc0"]["conv0"]["kernel"], ((0, 0), (0, 0), (0, 3), (0, 0)))
+    xl = to_lanes_p2(xp)
+    conv0 = make_conv_p2_train(st0, s, interpret=interpret)
+    z0 = conv0(xl, k0, params["enc0"]["conv0"]["bias"])
+    h0, bn0 = _bn_relu_lanes(
+        z0, params["enc0"]["bn0"], batch_stats["enc0"]["bn0"],
+        s - 2, s - 2, item_mask, st0, mom, eps,
+    )
+    conv1 = make_conv_p2_train(st0, s - 2, interpret=interpret)
+    z1 = conv1(h0, params["enc0"]["conv1"]["kernel"], params["enc0"]["conv1"]["bias"])
+    skip0, bn1 = _bn_relu_lanes(
+        z1, params["enc0"]["bn1"], batch_stats["enc0"]["bn1"],
+        s - 4, s - 4, item_mask, st0, mom, eps,
+    )
+    new_stats["enc0"] = {"bn0": bn0, "bn1": bn1}
+    pooled = _pool_lanes_p2(skip0, f0, s - 4)
+    wp0 = (s - 4) // 2
+    xm = from_lanes(pooled[:wp0], b, wp0)
+
+    # ---- NHWC middle: enc1..enc4, dec0..dec2 ----
+    skips = []
+    for lvl in range(1, cfg.levels):
+        if lvl > 1:
+            xm = jax.lax.reduce_window(
+                xm, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+        xm, st = _block_nhwc(
+            xm, params[f"enc{lvl}"], batch_stats[f"enc{lvl}"], item_mask,
+            mom, eps, dtype,
+        )
+        new_stats[f"enc{lvl}"] = st
+        skips.append(xm)
+
+    xm = skips[-1]
+    for i in range(cfg.levels - 2):
+        pu = params[f"up{i}_tconv"]
+        xm = jax.lax.conv_transpose(
+            xm, pu["kernel"].astype(dtype), (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + pu["bias"].astype(dtype)
+        skip = skips[-(i + 2)]
+        skip_c = center_crop_nhwc(skip, xm.shape[1], xm.shape[2])
+        xm = jnp.concatenate([skip_c, xm.astype(dtype)], axis=-1)
+        xm, st = _block_nhwc(
+            xm, params[f"dec{i}"], batch_stats[f"dec{i}"], item_mask,
+            mom, eps, dtype,
+        )
+        new_stats[f"dec{i}"] = st
+
+    # ---- up3 + dec3 in lanes ----
+    dlast = cfg.levels - 2
+    up_w = sh.crops[-1]
+    d2w = xm.shape[2]
+    if lane_stride(d2w) != st0:
+        xm = jnp.pad(xm, ((0, 0), (0, 0), (0, st0 - d2w), (0, 0)))
+        tl = xm.transpose(1, 3, 0, 2).reshape(xm.shape[1], xm.shape[3], b * st0)
+    else:
+        tl = to_lanes(xm)
+    pu = params[f"up{dlast}_tconv"]
+    tconv = make_tconv_p2_train(st0, interpret=interpret)
+    up_l = tconv(tl, pu["kernel"].astype(dtype), pu["bias"].astype(dtype))
+
+    # crop skip0 to the up geometry: static row slice + phase-preserving
+    # lane roll (even column offsets only — supports() guards)
+    row_off = (sh.encoder[0] - up_w) // 2
+    crop = jnp.roll(skip0, -(row_off // 2), axis=2)[row_off : row_off + up_w + 2]
+    # mask the up buffer's garbage (rows beyond up_w, dead tail lanes) so
+    # the concat-conv's dW contraction can't see uninitialized memory;
+    # the crop is real data everywhere it is read
+    upv = up_l[: up_w + 2]  # keep one spare pair of rows for the window
+    cat = jnp.concatenate(
+        [crop[:, :f0], upv[:, :f0], crop[:, f0:], upv[:, f0:]], axis=1
+    )
+    convd0 = make_conv_p2_train(st0, up_w, interpret=interpret)
+    zd0 = convd0(
+        cat, params[f"dec{dlast}"]["conv0"]["kernel"],
+        params[f"dec{dlast}"]["conv0"]["bias"],
+    )
+    hd0, bnd0 = _bn_relu_lanes(
+        zd0, params[f"dec{dlast}"]["bn0"], batch_stats[f"dec{dlast}"]["bn0"],
+        up_w - 2, up_w - 2, item_mask, st0, mom, eps,
+    )
+    convd1 = make_conv_p2_train(st0, up_w - 2, interpret=interpret)
+    zd1 = convd1(
+        hd0, params[f"dec{dlast}"]["conv1"]["kernel"],
+        params[f"dec{dlast}"]["conv1"]["bias"],
+    )
+    hd1, bnd1 = _bn_relu_lanes(
+        zd1, params[f"dec{dlast}"]["bn1"], batch_stats[f"dec{dlast}"]["bn1"],
+        up_w - 4, up_w - 4, item_mask, st0, mom, eps,
+    )
+    new_stats[f"dec{dlast}"] = {"bn0": bnd0, "bn1": bnd1}
+
+    # ---- 1x1 head (f32 like the training model) ----
+    ko = params["outc"]["kernel"].reshape(f0, cfg.num_classes)
+    bo = params["outc"]["bias"]
+    logits = []
+    for p in range(2):
+        yp = hd1[:, p * f0 : (p + 1) * f0, :].astype(jnp.float32)
+        lp = jax.lax.dot_general(
+            ko.T, yp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits.append(jnp.moveaxis(lp, 0, 1))
+    ll = jnp.concatenate(logits, axis=1)[: sh.output_size]
+    ll = ll + jnp.tile(bo, 2)[None, :, None]
+    return from_lanes_p2(ll, b, sh.output_size).astype(jnp.float32), new_stats

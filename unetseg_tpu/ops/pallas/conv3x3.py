@@ -67,7 +67,8 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
 
 
 def _kernel_v2(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
-               *, relu, lb, ci, co, rows, nby, nbl, segs=3, pool_ref=None):
+               *, relu, lb, ci, co, rows, nby, nbl, segs=3, pool_ref=None,
+               seg_shifts=None):
     """Pipelined variant: double-buffered window DMA across grid steps,
     `rows` output rows per MXU dot, `segs` lane-tap segments.
 
@@ -109,17 +110,24 @@ def _kernel_v2(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
     dma(step % 2, step).wait()
     win = win_ref.at[step % 2]
 
+    if seg_shifts is None:
+        seg_shifts = tuple(range(segs))  # lane shifts per tap segment
     prev = None
     for r in range(0, TH, rows):
         xw = win[r : r + rows + 2].reshape((rows + 2) * ci, lb)
         y = jnp.dot(w_ref[:], xw, preferred_element_type=jnp.float32)
         for p in range(rows):
             seg0 = p * segs * co
-            acc = y[seg0 : seg0 + co]
-            for s in range(1, segs):
-                acc = acc + pltpu.roll(
-                    y[seg0 + s * co : seg0 + (s + 1) * co], lb - s, 1
-                )
+            acc = None
+            for s in range(segs):
+                seg = y[seg0 + s * co : seg0 + (s + 1) * co]
+                sh = seg_shifts[s] % lb
+                if sh:
+                    # roll left by seg_shifts[s] (negative -> right); wrap
+                    # garbage lands only in dead tail lanes (left) or
+                    # pre-zeroed tail lanes (right, backward pass)
+                    seg = pltpu.roll(seg, lb - sh, 1)
+                acc = seg if acc is None else acc + seg
             acc = acc * s_ref[:] + b_ref[:]
             if relu:
                 acc = jnp.maximum(acc, 0.0)

@@ -1,0 +1,299 @@
+"""Training-mode 2-phase lanes conv: custom VJP with Pallas forward AND
+backward kernels.
+
+The train step's profile is dominated by the big-spatial low-channel stages
+(enc0 25 ms, dec3 12 ms of a 67 ms batch-4 step), and most of that is not
+conv FLOPs but the layout churn XLA's conv lowering forces on the
+surrounding elementwise/BN/residual traffic (docs/PARITY.md). Running those
+convs in the 2-phase lanes layout (ops/pallas/conv3x3.py) keeps every
+surrounding op a trivially-laid-out elementwise/reduce — but only if the
+BACKWARD pass also stays in lanes. This module provides:
+
+- dx: full correlation of the (lane-masked) output gradient with the
+  transposed/flipped kernel — the same `_kernel_v2` machinery with
+  seg_shifts (0, -1): right-rolls pull pre-zeroed tail lanes, so zero
+  padding comes free (pack_w_phase2_dx);
+- dW: per-row MXU contractions over the LANE axis, X3 (3*2CI, lb) x
+  [g, g-rolled-right] (2CO, lb) accumulated into two (6CI, 2CO) f32
+  accumulators across the whole grid (one revisited output block), then a
+  tiny XLA post-process reassembles (3, 3, CI, CO);
+- conv_p2_train: jax.custom_vjp tying them together (bias grad is an XLA
+  reduce).
+
+Gradients are validated against jax autodiff of lax.conv in
+tests/test_conv3x3_train.py (interpret mode, f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unetseg_tpu.ops.pallas.conv3x3 import (
+    TH,
+    WIN,
+    _kernel_v2,
+    _lane_block,
+    _lane_budget,
+)
+
+
+def pack_w_phase2_dx(w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, CI, CO) -> (4*CI, 6*CO) for the lanes dx (input-gradient) conv.
+
+    dx(q, i) needs g at lane shifts {0, -1} with spatially-flipped taps:
+        dx(0,i) = W0 g(0,i)          + W2 g(0,i-1) + W1 g(1,i-1)
+        dx(1,i) = W1 g(0,i) + W0 g(1,i) + W2 g(1,i-1)
+    M=(shift s, phase q, ci), K=(ky' = flipped row tap, phase p, co)."""
+    ci, co = w_hwio.shape[2], w_hwio.shape[3]
+    wf = w_hwio[::-1]  # flip ky: window row ky' pairs w[2-ky']
+    z = jnp.zeros_like(wf[:, 0])  # (3, ci, co)
+    blk = {
+        (0, 0, 0): wf[:, 0], (0, 0, 1): z,
+        (0, 1, 0): wf[:, 1], (0, 1, 1): wf[:, 0],
+        (1, 0, 0): wf[:, 2], (1, 0, 1): wf[:, 1],
+        (1, 1, 0): z,        (1, 1, 1): wf[:, 2],
+    }
+    rows_out = []
+    for s in range(2):
+        for q in range(2):
+            kb = jnp.stack([blk[(s, q, 0)], blk[(s, q, 1)]], axis=1)
+            # (3, 2, ci, co) -> rows are ci, K is (ky, p, co)
+            rows_out.append(kb.transpose(2, 0, 1, 3).reshape(ci, 6 * co))
+    return jnp.concatenate(rows_out, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("item_stride", "gh_valid", "out_rows", "interpret"),
+)
+def conv3x3_phase2_dx(g, w_hwio, item_stride: int, gh_valid: int,
+                      out_rows: int = 0, interpret: bool = False):
+    """Input gradient of the 2-phase lanes conv.
+
+    g: (H_g, 2*CO, L) output gradient, already masked (invalid rows and
+    dead tail lanes zeroed) — right-rolls wrap those zeros in as the zero
+    padding the full correlation needs. Returns dx (>= max(gh_valid+2,
+    out_rows) rows, 2*CI, L); rows past gh_valid+2 are true zeros (computed
+    from the zero-padded g), so callers can slice the input-buffer length
+    without touching uninitialized memory."""
+    hg, co2, lanes = g.shape
+    co = co2 // 2
+    ci = w_hwio.shape[2]
+    ho = max(gh_valid + 2, out_rows)  # dx rows
+    nby = -(-ho // TH)
+    need = 2 + (nby - 1) * TH + WIN  # +2 top zero rows
+    g = jnp.pad(g, ((2, max(0, need - 2 - hg)), (0, 0), (0, 0)))
+    isz = g.dtype.itemsize
+    bpl = (2 * WIN * co2 + 2 * TH * 2 * ci) * isz + 2 * 2 * ci * 4
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
+    nbl = lanes // lb
+
+    w_all = pack_w_phase2_dx(w_hwio.astype(g.dtype))
+    ones = jnp.ones((2 * ci, 1), jnp.float32)
+    zeros = jnp.zeros((2 * ci, 1), jnp.float32)
+
+    def kernel(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem):
+        _kernel_v2(
+            x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
+            relu=False, lb=lb, ci=co2, co=2 * ci, rows=1,
+            nby=nby, nbl=nbl, segs=2, seg_shifts=(0, -1),
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nby, nbl),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TH, 2 * ci, lb), lambda by, bl: (by, 0, bl),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nby * TH + TH, 2 * ci, lanes), g.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN, co2, lb), g.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(g, w_all, ones, zeros)
+    return out
+
+
+def _kernel_dw(x_ref, g_ref, gr_ref, acc_ref, winx, wing, wingr, sems,
+               *, lb, cix2, co2, nby, nbl):
+    """Accumulate dW lane-contractions: acc[0] += X3 @ g, acc[1] += X3 @ gR
+    per output row, into one (2, 3*cix2, co2) f32 block revisited by every
+    grid step."""
+    by = pl.program_id(0)
+    bl = pl.program_id(1)
+    step = by * nbl + bl
+
+    def dma(ref, win, idx, slot, stp, rows):
+        return pltpu.make_async_copy(
+            ref.at[pl.ds((stp // nbl) * TH, rows), :,
+                   pl.ds((stp % nbl) * lb, lb)],
+            win.at[slot],
+            sems.at[idx, slot],
+        )
+
+    def all3(slot, stp):
+        return (
+            dma(x_ref, winx, 0, slot, stp, WIN),
+            dma(g_ref, wing, 1, slot, stp, TH),
+            dma(gr_ref, wingr, 2, slot, stp, TH),
+        )
+
+    @pl.when(step == 0)
+    def _():
+        for d in all3(0, 0):
+            d.start()
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(step + 1 < nby * nbl)
+    def _():
+        for d in all3((step + 1) % 2, step + 1):
+            d.start()
+
+    for d in all3(step % 2, step):
+        d.wait()
+    wx = winx.at[step % 2]
+    wg = wing.at[step % 2]
+    wgr = wingr.at[step % 2]
+
+    dn = (((1,), (1,)), ((), ()))
+    for r in range(TH):
+        x3 = wx[r : r + 3].reshape(3 * cix2, lb)
+        acc_ref[0] += jax.lax.dot_general(
+            x3, wg[r], dn, preferred_element_type=jnp.float32
+        )
+        acc_ref[1] += jax.lax.dot_general(
+            x3, wgr[r], dn, preferred_element_type=jnp.float32
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("item_stride", "gh_valid", "interpret")
+)
+def conv3x3_phase2_dw(x, g, gr, item_stride: int, gh_valid: int,
+                      interpret: bool = False):
+    """Weight gradient of the 2-phase lanes conv.
+
+    x: (H_x, 2*CI, L) the conv input (masked: garbage rows/lanes zeroed);
+    g: output gradient masked likewise; gr: g rolled RIGHT one lane
+    (jnp.roll(g, 1, axis=2) — cross-item wrap pulls masked zeros).
+    Returns dw (3, 3, CI, CO) f32."""
+    hx, cix2, lanes = x.shape
+    cix = cix2 // 2
+    _, co2, _ = g.shape
+    co = co2 // 2
+    nby = -(-gh_valid // TH)
+    need_x = (nby - 1) * TH + WIN
+    if need_x > hx:
+        x = jnp.pad(x, ((0, need_x - hx), (0, 0), (0, 0)))
+    need_g = nby * TH
+    if need_g > g.shape[0]:
+        g = jnp.pad(g, ((0, need_g - g.shape[0]), (0, 0), (0, 0)))
+        gr = jnp.pad(gr, ((0, need_g - gr.shape[0]), (0, 0), (0, 0)))
+    isz = x.dtype.itemsize
+    bpl = (2 * WIN * cix2 + 4 * TH * co2) * isz
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
+    nbl = lanes // lb
+
+    kernel = functools.partial(
+        _kernel_dw, lb=lb, cix2=cix2, co2=co2, nby=nby, nbl=nbl
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid=(nby, nbl),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec(
+            (2, 3 * cix2, co2), lambda by, bl: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, 3 * cix2, co2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN, cix2, lb), x.dtype),
+            pltpu.VMEM((2, TH, co2, lb), x.dtype),
+            pltpu.VMEM((2, TH, co2, lb), x.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        interpret=interpret,
+    )(x, g, gr)
+    # acc[s][(ky, q, ci), (p, co)] -> dw[ky, kx, ci, co] via the fwd tap
+    # table: (p=0,kx)->(q,s) = {0:(0,0), 1:(1,0), 2:(0,1)};
+    #        (p=1,kx)->(q,s) = {0:(1,0), 1:(0,1), 2:(1,1)}
+    a = acc.reshape(2, 3, 2, cix, 2, co)  # [s, ky, q, ci, p, co]
+    dw0 = a[0, :, 0, :, 0] + a[0, :, 1, :, 1]  # kx=0
+    dw1 = a[0, :, 1, :, 0] + a[1, :, 0, :, 1]  # kx=1
+    dw2 = a[1, :, 0, :, 0] + a[1, :, 1, :, 1]  # kx=2
+    return jnp.stack([dw0, dw1, dw2], axis=1)  # (3, 3, ci, co)
+
+
+def make_conv_p2_train(item_stride: int, h_valid: int, interpret: bool = False):
+    """Build the custom-VJP training conv for fixed static geometry.
+
+    Returned fn: (x (Hbuf, 2*CI, L) lanes bf16/f32, w (3,3,CI,CO) f32,
+    b (CO,) f32) -> z (raw-rows buffer, 2*CO, L). Gradient flows to x, w, b.
+    """
+    from unetseg_tpu.ops.pallas.conv3x3 import conv3x3_phase2
+
+    # square tensors assumed (tiles): h_valid doubles as the valid width
+    ho = h_valid - 2
+
+    @jax.custom_vjp
+    def conv(x, w, b):
+        return conv3x3_phase2(
+            x, w, jnp.ones((w.shape[3], 1), jnp.float32), b.reshape(-1, 1),
+            item_stride, relu=False, interpret=interpret,
+            h_valid=h_valid, raw_rows=True,
+        )
+
+    def fwd(x, w, b):
+        return conv(x, w, b), (x, w)
+
+    def _mask(t, nch, rows_valid, w_valid):
+        """Zero garbage rows and dead tail lanes of a (H, 2*nch, L) lanes
+        tensor (phase 0 keeps ceil(w/2) lanes, phase 1 floor(w/2))."""
+        n_items = t.shape[2] // item_stride
+        lane_ids = jnp.arange(item_stride)
+        m0 = jnp.tile((lane_ids < -(-w_valid // 2)).astype(t.dtype), n_items)
+        m1 = jnp.tile((lane_ids < w_valid // 2).astype(t.dtype), n_items)
+        rmask = jnp.arange(t.shape[0]) < rows_valid
+        lmask = jnp.concatenate(
+            [jnp.broadcast_to(m0 > 0, (nch, t.shape[2])),
+             jnp.broadcast_to(m1 > 0, (nch, t.shape[2]))], axis=0
+        )
+        # where, not multiply: garbage can be NaN (uninitialized spare
+        # blocks) and NaN * 0 == NaN
+        return jnp.where(rmask[:, None, None] & lmask[None], t, 0)
+
+    def bwd(res, g):
+        x, w = res
+        ci, co = w.shape[2], w.shape[3]
+        # static masks: rolls and lane contractions then see true zero
+        # padding (garbage rows/lanes may be uninitialized memory — NaN*0
+        # would poison dW, so x is masked too)
+        gm = _mask(g, co, ho, h_valid - 2)
+        gr = jnp.roll(gm, 1, axis=2)
+        xm = _mask(x, ci, h_valid, h_valid)
+        dx = conv3x3_phase2_dx(
+            gm, w, item_stride, gh_valid=ho, out_rows=x.shape[0],
+            interpret=interpret,
+        )[: x.shape[0]]
+        dw = conv3x3_phase2_dw(
+            xm, gm, gr, item_stride, gh_valid=ho, interpret=interpret
+        )
+        db = jnp.sum(gm, axis=(0, 2), dtype=jnp.float32)
+        db = db[:co] + db[co:]
+        return dx, dw.astype(w.dtype), db.astype(jnp.float32)
+
+    conv.defvjp(fwd, bwd)
+    return conv

@@ -102,6 +102,7 @@ def make_train_step(
     aug_illum: float = 0.0,
     aug_noise: float = 0.0,
     remat: Optional[str] = None,
+    lanes: bool = False,
     jit: bool = True,
 ) -> Callable:
     """Build the jitted train step.
@@ -144,15 +145,27 @@ def make_train_step(
         else:
             targets = (masks > 0).astype(jnp.int32)
 
-        def forward(params, images):
-            logits, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                images[..., None],
-                train=True,
-                item_mask=valid,
-                mutable=["batch_stats"],
-            )
-            return logits, mutated["batch_stats"]
+        if lanes:
+            # lanes-native hot stages (enc0/up3/dec3 as Pallas custom-VJP
+            # kernels, models/lanes_train.py) — same math as model.apply,
+            # parity pinned by tests/test_lanes_train.py
+            from unetseg_tpu.models.lanes_train import train_forward_lanes
+
+            def forward(params, images):
+                return train_forward_lanes(
+                    params, state.batch_stats, images[..., None],
+                    model.cfg, item_mask=valid,
+                )
+        else:
+            def forward(params, images):
+                logits, mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images[..., None],
+                    train=True,
+                    item_mask=valid,
+                    mutable=["batch_stats"],
+                )
+                return logits, mutated["batch_stats"]
 
         if remat is not None:
             # Rematerialize the forward in the backward pass instead of
