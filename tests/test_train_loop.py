@@ -140,3 +140,20 @@ def test_best_inside_cooldown_is_flushed(tiny_tree, tmp_path):
         epoch=saved,
     )
     assert extra["config"]["train"]["checkpoint_min_interval"] == 3
+
+
+def test_lanes_active_resolution():
+    """TrainConfig.lanes gating: auto is off on CPU, on forces (with a clear
+    error for unsupported geometry), off disables."""
+    from unetseg_tpu.train.loop import lanes_active
+
+    # CPU backend -> auto resolves False even for supported geometry
+    assert lanes_active("auto", TINY_MODEL, SIZE, mesh=None) is False
+    assert lanes_active("off", TINY_MODEL, SIZE, mesh=None) is False
+    # "on" forces the path when the geometry supports it (188 does)
+    assert lanes_active("on", TINY_MODEL, SIZE, mesh=None) is True
+    # "on" with an unsupported geometry must fail loudly, not mis-train
+    with pytest.raises(ValueError, match="does not support"):
+        lanes_active("on", TINY_MODEL, 189, mesh=None)
+    with pytest.raises(ValueError, match="auto"):
+        lanes_active("sometimes", TINY_MODEL, SIZE, mesh=None)

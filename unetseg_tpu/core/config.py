@@ -97,7 +97,16 @@ class TrainConfig:
     # "nothing" | None). "dots" keeps conv outputs and recomputes the
     # elementwise BN/ReLU chains in the backward pass: measured 66.6 -> 61.5
     # ms/step (identical numerics); the aggressive policies lose (88 ms).
+    # Ignored (treated as None) when the lanes train path is active — remat
+    # slows the lanes step (52.4 vs 46.2 ms no-aug).
     remat: Optional[str] = "dots"
+    # Lanes-native train forward (models/lanes_train.py): enc0 + up3/dec3 as
+    # Pallas custom-VJP kernels. "auto" uses it on a single TPU chip when
+    # the geometry supports it (infer/lanes_net.supports); "on"/"off" force.
+    # Measured 61.5 -> 46.2 ms/step no-aug at batch 4, 512^2; numerics match
+    # the Flax step to 1.2e-5 after one SGD update (tools/
+    # lanes_train_parity_native.py on the chip).
+    lanes: str = "auto"
 
 
 @dataclass(frozen=True)

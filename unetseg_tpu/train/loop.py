@@ -41,6 +41,32 @@ class TrainResult:
     history: List[Dict[str, float]]
 
 
+def lanes_active(
+    mode: str, m_cfg, input_size: int, mesh: Optional[MeshSpec]
+) -> bool:
+    """Resolve TrainConfig.lanes ("auto"|"on"|"off") for this run.
+
+    Auto requires a real TPU backend (the Pallas kernels are Mosaic-only),
+    no device mesh (the kernels are not yet shard_map-wrapped for GSPMD),
+    and a geometry the lanes layout supports."""
+    from unetseg_tpu.infer.lanes_net import supports
+
+    if mode == "off":
+        return False
+    ok = supports(m_cfg, input_size)
+    if mode == "on":
+        if not ok:
+            raise ValueError(
+                f"TrainConfig.lanes='on' but the lanes path does not support "
+                f"this geometry (input_size={input_size}, levels="
+                f"{m_cfg.levels}, base_features={m_cfg.base_features})"
+            )
+        return True
+    if mode != "auto":
+        raise ValueError(f"TrainConfig.lanes must be auto|on|off, got {mode!r}")
+    return ok and mesh is None and jax.default_backend() == "tpu"
+
+
 def _put_batch(batch, spec: Optional[MeshSpec]):
     arrays = (batch.images, batch.masks, batch.weight_maps, batch.valid)
     if spec is None:
@@ -90,6 +116,9 @@ def train(
         state = jax.device_put(state, mesh.replicated())
 
     three_class = m_cfg.num_classes == 3
+    lanes = lanes_active(t_cfg.lanes, m_cfg, input_size, mesh)
+    if lanes:
+        logger.log({"event": "lanes_train", "input_size": input_size})
     train_step = make_train_step(
         model,
         augment=d_cfg.augment,
@@ -102,7 +131,10 @@ def train(
         aug_gamma=d_cfg.aug_gamma,
         aug_illum=d_cfg.aug_illum,
         aug_noise=d_cfg.aug_noise,
-        remat=t_cfg.remat,
+        # remat slows the lanes step (52.4 vs 46.2 ms no-aug): the custom-VJP
+        # kernels already recompute nothing worth discarding
+        remat=None if lanes else t_cfg.remat,
+        lanes=lanes,
     )
     eval_step = make_eval_step(
         model, three_class=three_class, standardize=d_cfg.standardize
