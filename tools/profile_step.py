@@ -57,7 +57,14 @@ def run_trainstep(tmpdir, augment=False):
     state = create_train_state(
         jax.random.key(0), model_cfg=cfg.model, input_size=512, model=model
     )
-    step = make_train_step(model, augment=augment)
+    # mirror the production step: lanes default (PROF_LANES=0 for the Flax
+    # step) and, when augmenting, the best-recipe photometric settings
+    lanes = os.environ.get("PROF_LANES", "1") == "1"
+    aug_kw = dict(
+        standardize=augment, aug_gamma=0.35 if augment else 0.0,
+        aug_illum=0.15 if augment else 0.0, aug_noise=0.05 if augment else 0.0,
+    )
+    step = make_train_step(model, augment=augment, lanes=lanes, **aug_kw)
     b = cfg.train.batch_size
     imgs = jnp.asarray(np.random.RandomState(0).rand(b, 512, 512), jnp.float32)
     masks = jnp.asarray(
