@@ -75,6 +75,49 @@ def test_no_resplit_when_counts_agree():
     assert len(set(np.unique(out)) - {0}) == 2
 
 
+def test_area_guard_rejects_fragment_split():
+    """A previous instance that barely pokes into the current component
+    (overlap above min_overlap, but the re-split piece is far below its old
+    area) must NOT spawn a fragment instance: the guard drops its seed and
+    the component keeps a single label."""
+    shape = (64, 96)
+    prev = np.zeros(shape, np.uint16)
+    prev[8:56, 8:56] = 1       # big cell, area 2304
+    prev[24:40, 58:90] = 2     # neighbor mostly OUTSIDE the current blob
+    cur = np.zeros(shape, np.uint8)
+    cur[8:56, 8:62] = 1        # current component: cell 1 plus a thin sliver
+                               # of cell 2's old footprint (overlap 16*4=64...)
+
+    # make the overlap pass min_overlap but stay tiny vs prev area of cell 2
+    out = temporal_instance_masks(
+        cur, prev, min_size=5, min_overlap=50, area_guard=0.5,
+        backend="python",
+    )
+    assert len(set(np.unique(out)) - {0}) == 1  # no fragment instance
+
+    # with the guard off the same geometry fragments into two
+    out2 = temporal_instance_masks(
+        cur, prev, min_size=5, min_overlap=50, area_guard=0.0,
+        backend="python",
+    )
+    assert len(set(np.unique(out2)) - {0}) == 2
+
+
+def test_area_guard_keeps_balanced_split():
+    """The guard must not break the legitimate wide-contact re-split."""
+    shape = (64, 96)
+    prev = np.zeros(shape, np.uint16)
+    prev[16:48, 12:42] = 1
+    prev[16:48, 50:80] = 2
+    cur = np.zeros(shape, np.uint8)
+    cur[16:48, 12:80] = 1
+    split = temporal_instance_masks(
+        cur, prev, min_size=5, min_overlap=100, area_guard=0.3,
+        backend="python",
+    )
+    assert len(set(np.unique(split)) - {0}) == 2
+
+
 def test_predict_sequence_temporal_flag(tmp_path):
     """Engine smoke: the temporal_markers flag threads prev-frame state."""
     import jax

@@ -135,6 +135,10 @@ class InferConfig:
     # (docs/RESULTS.md round 2); off here for reference-parity defaults,
     # on in configs/best_recipe.json.
     temporal_markers: bool = False
+    # Fragment guard for the temporal re-split (post/temporal.py): drop a
+    # re-seeded sub-instance below this fraction of its seeding previous
+    # instance's area and re-flood with the surviving seeds. 0 disables.
+    temporal_area_guard: float = 0.3
 
 
 @dataclass(frozen=True)

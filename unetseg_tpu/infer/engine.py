@@ -299,6 +299,7 @@ class Predictor:
                         b, prev_inst,
                         min_size=self.cfg.min_cell_size,
                         marker_frac=marker_frac,
+                        area_guard=self.cfg.temporal_area_guard,
                     )
                     prev_inst = inst
                 elif watershed:

@@ -45,10 +45,14 @@ from unetseg_tpu.ops.pallas.conv3x3_train import make_conv_p2_train
 
 
 # --------------------------------------------------------------------- BN
-def _bn_stats_lanes(z, nch, h_valid, w_valid, item_mask, item_stride):
+def _bn_stats_lanes(z, nch, h_valid, w_valid, item_mask, item_stride,
+                    axis_name=None):
     """Masked one-pass fp32 batch statistics of a (Hbuf, 2*nch, L) lanes
     tensor. Returns (mean, var, n) — MaskedBatchNorm math exactly
-    (models/unet.py:114-138)."""
+    (models/unet.py:114-138). With `axis_name` (shard_map data-parallel
+    training) the moment sums are psummed across the mesh axis first, so
+    every shard normalizes with the GLOBAL batch statistics — numerically
+    identical to the single-device step."""
     n_items = z.shape[2] // item_stride
     lane_ids = jnp.arange(item_stride)
     m0 = jnp.broadcast_to(
@@ -74,16 +78,17 @@ def _bn_stats_lanes(z, nch, h_valid, w_valid, item_mask, item_stride):
     if item_mask is None:
         n = jnp.float32(n_items * h_valid * w_valid)
     else:
-        n = jnp.maximum(
-            jnp.sum(item_mask.astype(jnp.float32)) * h_valid * w_valid, 1.0
-        )
+        n = jnp.sum(item_mask.astype(jnp.float32)) * h_valid * w_valid
+    if axis_name is not None:
+        s, sq, n = jax.lax.psum((s, sq, n), axis_name)
+    n = jnp.maximum(n, 1.0)
     mean = s / n
     var = jnp.maximum(sq / n - jnp.square(mean), 0.0)
     return mean, var, n
 
 
 def _bn_relu_lanes(z, p_bn, stats, h_valid, w_valid, item_mask, item_stride,
-                   momentum, eps, relu=True):
+                   momentum, eps, relu=True, axis_name=None):
     """BN (training stats) + ReLU on a lanes tensor; returns the activation
     and the updated running stats {mean, var}."""
     nch = p_bn["scale"].shape[0]
@@ -92,7 +97,7 @@ def _bn_relu_lanes(z, p_bn, stats, h_valid, w_valid, item_mask, item_stride,
     # gradients through the full-buffer normalize below (NaN * 0 == NaN)
     z = jnp.where((jnp.arange(z.shape[0]) < h_valid)[:, None, None], z, 0)
     mean, var, n = _bn_stats_lanes(
-        z, nch, h_valid, w_valid, item_mask, item_stride
+        z, nch, h_valid, w_valid, item_mask, item_stride, axis_name
     )
     unbias = n / jnp.maximum(n - 1.0, 1.0)
     new_stats = {
@@ -176,26 +181,28 @@ def make_tconv_p2_train(item_stride: int, interpret: bool = False):
 
 # --------------------------------------------------------- NHWC middle ops
 def _conv_bn_relu_nhwc(x, p_conv, p_bn, stats, item_mask, momentum, eps,
-                       dtype):
+                       dtype, axis_name=None):
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), p_conv["kernel"].astype(dtype), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=dtype,
     ) + p_conv["bias"].astype(dtype)
     if item_mask is None:
-        mean = jnp.mean(y, axis=(0, 1, 2), dtype=jnp.float32)
-        mean_sq = jnp.mean(jnp.square(y), axis=(0, 1, 2), dtype=jnp.float32)
+        s = jnp.sum(y, axis=(0, 1, 2), dtype=jnp.float32)
+        sq = jnp.sum(jnp.square(y), axis=(0, 1, 2), dtype=jnp.float32)
         n = jnp.float32(y.shape[0] * y.shape[1] * y.shape[2])
     else:
         wm = item_mask.astype(y.dtype)[:, None, None, None]
-        n = jnp.maximum(
-            jnp.sum(item_mask.astype(jnp.float32)) * y.shape[1] * y.shape[2],
-            1.0,
+        n = (
+            jnp.sum(item_mask.astype(jnp.float32)) * y.shape[1] * y.shape[2]
         )
-        mean = jnp.sum(y * wm, axis=(0, 1, 2), dtype=jnp.float32) / n
-        mean_sq = jnp.sum(
-            jnp.square(y) * wm, axis=(0, 1, 2), dtype=jnp.float32
-        ) / n
+        s = jnp.sum(y * wm, axis=(0, 1, 2), dtype=jnp.float32)
+        sq = jnp.sum(jnp.square(y) * wm, axis=(0, 1, 2), dtype=jnp.float32)
+    if axis_name is not None:
+        s, sq, n = jax.lax.psum((s, sq, n), axis_name)
+    n = jnp.maximum(n, 1.0)
+    mean = s / n
+    mean_sq = sq / n
     var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
     unbias = n / jnp.maximum(n - 1.0, 1.0)
     new_stats = {
@@ -210,12 +217,12 @@ def _conv_bn_relu_nhwc(x, p_conv, p_bn, stats, item_mask, momentum, eps,
     return jnp.maximum(y * a + b, 0), new_stats
 
 
-def _block_nhwc(x, p, st, item_mask, momentum, eps, dtype):
+def _block_nhwc(x, p, st, item_mask, momentum, eps, dtype, axis_name=None):
     new_st = {}
     for i in range(2):
         x, new_st[f"bn{i}"] = _conv_bn_relu_nhwc(
             x, p[f"conv{i}"], p[f"bn{i}"], st[f"bn{i}"], item_mask,
-            momentum, eps, dtype,
+            momentum, eps, dtype, axis_name,
         )
     return x, new_st
 
@@ -228,11 +235,14 @@ def train_forward_lanes(
     model_cfg: ModelConfig,
     item_mask: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Training forward == UNet.apply(train=True, mutable=['batch_stats'])
     with enc0 and up3/dec3 in the 2-phase lanes layout.
 
-    x: (B, S, S, 1); returns (logits f32, new_batch_stats)."""
+    x: (B, S, S, 1); returns (logits f32, new_batch_stats). Inside a
+    shard_map over a data-parallel mesh axis, pass `axis_name` so the batch
+    statistics are psummed to global — see parallel/sharding.py."""
     cfg = model_cfg
     dtype = jnp.dtype(cfg.compute_dtype)
     mom, eps = cfg.bn_momentum, cfg.bn_epsilon
@@ -255,12 +265,14 @@ def train_forward_lanes(
     h0, bn0 = _bn_relu_lanes(
         z0, params["enc0"]["bn0"], batch_stats["enc0"]["bn0"],
         s - 2, s - 2, item_mask, st0, mom, eps,
+        axis_name=axis_name,
     )
     conv1 = make_conv_p2_train(st0, s - 2, interpret=interpret)
     z1 = conv1(h0, params["enc0"]["conv1"]["kernel"], params["enc0"]["conv1"]["bias"])
     skip0, bn1 = _bn_relu_lanes(
         z1, params["enc0"]["bn1"], batch_stats["enc0"]["bn1"],
         s - 4, s - 4, item_mask, st0, mom, eps,
+        axis_name=axis_name,
     )
     new_stats["enc0"] = {"bn0": bn0, "bn1": bn1}
     pooled = _pool_lanes_p2(skip0, f0, s - 4)
@@ -276,7 +288,7 @@ def train_forward_lanes(
             )
         xm, st = _block_nhwc(
             xm, params[f"enc{lvl}"], batch_stats[f"enc{lvl}"], item_mask,
-            mom, eps, dtype,
+            mom, eps, dtype, axis_name,
         )
         new_stats[f"enc{lvl}"] = st
         skips.append(xm)
@@ -293,7 +305,7 @@ def train_forward_lanes(
         xm = jnp.concatenate([skip_c, xm.astype(dtype)], axis=-1)
         xm, st = _block_nhwc(
             xm, params[f"dec{i}"], batch_stats[f"dec{i}"], item_mask,
-            mom, eps, dtype,
+            mom, eps, dtype, axis_name,
         )
         new_stats[f"dec{i}"] = st
 
@@ -329,6 +341,7 @@ def train_forward_lanes(
     hd0, bnd0 = _bn_relu_lanes(
         zd0, params[f"dec{dlast}"]["bn0"], batch_stats[f"dec{dlast}"]["bn0"],
         up_w - 2, up_w - 2, item_mask, st0, mom, eps,
+        axis_name=axis_name,
     )
     convd1 = make_conv_p2_train(st0, up_w - 2, interpret=interpret)
     zd1 = convd1(
@@ -338,6 +351,7 @@ def train_forward_lanes(
     hd1, bnd1 = _bn_relu_lanes(
         zd1, params[f"dec{dlast}"]["bn1"], batch_stats[f"dec{dlast}"]["bn1"],
         up_w - 4, up_w - 4, item_mask, st0, mom, eps,
+        axis_name=axis_name,
     )
     new_stats[f"dec{dlast}"] = {"bn0": bnd0, "bn1": bnd1}
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -94,6 +95,109 @@ def make_sharded_tile_forward(
         return binary_probs_from_logits(logits)[..., None]
 
     return jax.jit(fwd, in_shardings=(tile_sh,), out_shardings=tile_sh)
+
+
+def make_lanes_dp_train_step(
+    mesh: MeshSpec,
+    model_cfg,
+    augment: bool = True,
+    elastic_alpha: float = 2000.0,
+    elastic_sigma: float = 20.0,
+    donate: bool = True,
+    three_class: bool = False,
+    border_boost: float = 1.0,
+    standardize: bool = False,
+    aug_gamma: float = 0.0,
+    aug_illum: float = 0.0,
+    aug_noise: float = 0.0,
+    interpret: bool = False,
+) -> Callable:
+    """Data-parallel train step for the lanes-native forward
+    (models/lanes_train.py) via `jax.shard_map` over the mesh's data axis.
+
+    GSPMD cannot partition `pallas_call`, so the Pallas custom-VJP conv
+    kernels run *inside* shard_map — each device executes the full lanes
+    forward/backward on its batch shard; the step stays numerically
+    identical to the single-device step because
+
+    - augmentation runs OUTSIDE shard_map under plain GSPMD (elementwise /
+      gather ops partition fine), so the key->field mapping per batch item
+      is unchanged;
+    - batch-norm moment sums are psummed across the axis inside the forward
+      (train_forward_lanes(axis_name=...)), giving global batch statistics;
+    - the loss normalizer is the GLOBAL valid-pixel count (computed before
+      shard_map), so psumming per-shard losses and gradients reproduces the
+      global mean exactly.
+
+    Parity vs the single-device lanes step is pinned by
+    tests/test_lanes_dp.py on the 8-virtual-device CPU mesh
+    (interpret-mode kernels). reference: scripts/train.py:104-138 is the
+    single-GPU ancestor; this is its ICI-collective replacement.
+    """
+    from unetseg_tpu.models.lanes_train import train_forward_lanes
+    from unetseg_tpu.models.shapes import output_size
+    from unetseg_tpu.train.steps import (
+        _masked_mean_loss,
+        make_augmenter,
+        optax_global_norm,
+    )
+
+    axis = mesh.data_axis
+    augmenter = make_augmenter(
+        augment, elastic_alpha, elastic_sigma, three_class, border_boost,
+        standardize, aug_gamma, aug_illum, aug_noise,
+    )
+
+    def local_grads(params, batch_stats, images, targets, weights, valid,
+                    n_pix):
+        def loss_fn(p):
+            logits, new_bs = train_forward_lanes(
+                p, batch_stats, images[..., None], model_cfg,
+                item_mask=valid, interpret=interpret, axis_name=axis,
+            )
+            loss = _masked_mean_loss(
+                logits, targets, weights, valid, n_pix=n_pix
+            )
+            return loss, new_bs
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.lax.psum(grads, axis)
+        return loss, new_bs, grads
+
+    def step(state: TrainState, images, masks, weights, valid, key):
+        images, targets, weights = augmenter(images, masks, weights, key)
+        out = output_size(images.shape[1])
+        n_pix = (
+            jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0) * out * out
+        )
+        sharded = jax.shard_map(
+            local_grads,
+            mesh=mesh.mesh,
+            in_specs=(
+                P(), P(), P(axis), P(axis), P(axis), P(axis), P(),
+            ),
+            out_specs=(P(), P(), P()),
+            # pallas_call out_shapes carry no varying-mesh-axes annotation;
+            # replication of the outputs is guaranteed by the explicit psums
+            check_vma=False,
+        )
+        loss, new_bs, grads = sharded(
+            state.params, state.batch_stats, images, targets, weights,
+            valid, n_pix,
+        )
+        state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        return state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
+
+    repl = NamedSharding(mesh.mesh, P())
+    batch_sh = NamedSharding(mesh.mesh, P(mesh.data_axis))
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_sh, batch_sh, batch_sh, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
 
 
 def replicate_state(mesh: MeshSpec, state: TrainState) -> TrainState:

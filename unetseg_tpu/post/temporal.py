@@ -52,16 +52,27 @@ def temporal_instance_masks(
     smooth_sigma: float = 2.0,
     core_frac: float = 0.5,
     min_overlap: int = 500,
+    area_guard: float = 0.3,
     backend: str = "native",
 ) -> np.ndarray:
     """Instances for one frame; `prev_inst` is the previous frame's result
     (None for the first frame — then identical to
-    get_instance_masks_watershed)."""
+    get_instance_masks_watershed).
+
+    `area_guard` prunes re-split fragments: a sub-instance produced by the
+    temporal re-seeding whose area is below ``area_guard`` x its seeding
+    previous instance's area is treated as a watershed fragment, its seed is
+    dropped, and the component's sub-watershed is re-run with the surviving
+    seeds (so fragment pixels flood into their real neighbor instead of
+    becoming a spurious instance). Cells persist frame-to-frame at roughly
+    constant area on this dataset, so a legitimate re-split piece stays near
+    its seed's area; 0 disables the guard."""
     binary = np.asarray(binary_mask) > 0
     markers, dist = distance_markers(binary, marker_frac, smooth_sigma)
     labels = watershed(-dist, markers, binary, backend=backend)
     if prev_inst is not None and prev_inst.max() > 0:
         prev_inst = np.asarray(prev_inst)
+        prev_areas = np.bincount(prev_inst.ravel())
         comp, n = label_components(binary)
         cores = instance_cores(prev_inst, core_frac)
         for ci in range(1, n + 1):
@@ -81,6 +92,24 @@ def temporal_instance_masks(
                     sub = watershed(
                         -dist, seed, region.astype(np.uint8), backend=backend
                     )
+                    if area_guard > 0:
+                        sub_areas = np.bincount(sub.ravel())
+                        keep = [
+                            s for s in prev_ids
+                            if s < len(sub_areas)
+                            and sub_areas[s]
+                            >= area_guard * prev_areas[s]
+                        ]
+                        if len(keep) < 2:
+                            continue  # split degenerates; keep markers' labels
+                        if len(keep) < len(prev_ids):
+                            seed = np.where(
+                                np.isin(seed, keep), seed, 0
+                            ).astype(np.uint16)
+                            sub = watershed(
+                                -dist, seed, region.astype(np.uint8),
+                                backend=backend,
+                            )
                     base = int(labels.max())
                     labels = np.where(
                         region & (sub > 0),

@@ -46,9 +46,12 @@ def lanes_active(
 ) -> bool:
     """Resolve TrainConfig.lanes ("auto"|"on"|"off") for this run.
 
-    Auto requires a real TPU backend (the Pallas kernels are Mosaic-only),
-    no device mesh (the kernels are not yet shard_map-wrapped for GSPMD),
-    and a geometry the lanes layout supports."""
+    Auto requires a real TPU backend (the Pallas kernels are Mosaic-only)
+    and a geometry the lanes layout supports. Under a device mesh the lanes
+    kernels run inside shard_map over the data axis
+    (parallel/sharding.make_lanes_dp_train_step) — the per-device batch
+    shard must be non-empty, which holds whenever batch >= data-parallel
+    degree (enforced at step time by the shard_map specs)."""
     from unetseg_tpu.infer.lanes_net import supports
 
     if mode == "off":
@@ -64,7 +67,7 @@ def lanes_active(
         return True
     if mode != "auto":
         raise ValueError(f"TrainConfig.lanes must be auto|on|off, got {mode!r}")
-    return ok and mesh is None and jax.default_backend() == "tpu"
+    return ok and jax.default_backend() == "tpu"
 
 
 def _put_batch(batch, spec: Optional[MeshSpec]):
@@ -119,23 +122,41 @@ def train(
     lanes = lanes_active(t_cfg.lanes, m_cfg, input_size, mesh)
     if lanes:
         logger.log({"event": "lanes_train", "input_size": input_size})
-    train_step = make_train_step(
-        model,
-        augment=d_cfg.augment,
-        elastic_alpha=d_cfg.elastic_alpha,
-        elastic_sigma=d_cfg.elastic_sigma,
-        donate=t_cfg.donate_state,
-        three_class=three_class,
-        border_boost=t_cfg.border_boost,
-        standardize=d_cfg.standardize,
-        aug_gamma=d_cfg.aug_gamma,
-        aug_illum=d_cfg.aug_illum,
-        aug_noise=d_cfg.aug_noise,
-        # remat slows the lanes step (52.4 vs 46.2 ms no-aug): the custom-VJP
-        # kernels already recompute nothing worth discarding
-        remat=None if lanes else t_cfg.remat,
-        lanes=lanes,
-    )
+    if lanes and mesh is not None:
+        from unetseg_tpu.parallel.sharding import make_lanes_dp_train_step
+
+        train_step = make_lanes_dp_train_step(
+            mesh,
+            m_cfg,
+            augment=d_cfg.augment,
+            elastic_alpha=d_cfg.elastic_alpha,
+            elastic_sigma=d_cfg.elastic_sigma,
+            donate=t_cfg.donate_state,
+            three_class=three_class,
+            border_boost=t_cfg.border_boost,
+            standardize=d_cfg.standardize,
+            aug_gamma=d_cfg.aug_gamma,
+            aug_illum=d_cfg.aug_illum,
+            aug_noise=d_cfg.aug_noise,
+        )
+    else:
+        train_step = make_train_step(
+            model,
+            augment=d_cfg.augment,
+            elastic_alpha=d_cfg.elastic_alpha,
+            elastic_sigma=d_cfg.elastic_sigma,
+            donate=t_cfg.donate_state,
+            three_class=three_class,
+            border_boost=t_cfg.border_boost,
+            standardize=d_cfg.standardize,
+            aug_gamma=d_cfg.aug_gamma,
+            aug_illum=d_cfg.aug_illum,
+            aug_noise=d_cfg.aug_noise,
+            # remat slows the lanes step (52.4 vs 46.2 ms no-aug): the
+            # custom-VJP kernels already recompute nothing worth discarding
+            remat=None if lanes else t_cfg.remat,
+            lanes=lanes,
+        )
     eval_step = make_eval_step(
         model, three_class=three_class, standardize=d_cfg.standardize
     )

@@ -35,11 +35,14 @@ def _masked_mean_loss(
     full_weights: Optional[jnp.ndarray],
     valid: jnp.ndarray,
     use_pallas: bool = False,
+    n_pix: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """mean over valid items of (w * CE) with center-cropped targets
     (reference: scripts/train.py:118-128). With use_pallas, the per-pixel
     weighted CE (forward and backward) runs as the fused Pallas kernel in
-    ops/pallas/wce.py."""
+    ops/pallas/wce.py. `n_pix` overrides the valid-pixel normalizer — the
+    data-parallel shard_map step passes the GLOBAL count so that psumming
+    the per-shard losses/grads reproduces the single-device mean."""
     th, tw = logits.shape[1], logits.shape[2]
     t = center_crop_nhw(full_targets, th, tw)
     if use_pallas and full_weights is not None:
@@ -52,7 +55,8 @@ def _masked_mean_loss(
         if full_weights is not None:
             ce = ce * center_crop_nhw(full_weights, th, tw).astype(jnp.float32)
     item_mask = valid.astype(jnp.float32)[:, None, None]
-    n_pix = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0) * th * tw
+    if n_pix is None:
+        n_pix = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0) * th * tw
     return jnp.sum(ce * item_mask) / n_pix
 
 
@@ -78,6 +82,62 @@ def three_class_targets(masks: jnp.ndarray, halo: int = 2) -> jnp.ndarray:
     fg = m > 0
     interior = fg & (mn == mx)
     return jnp.where(interior, 1, jnp.where(fg, 2, 0)).astype(jnp.int32)
+
+
+def make_augmenter(
+    augment: bool,
+    elastic_alpha: float,
+    elastic_sigma: float,
+    three_class: bool,
+    border_boost: float,
+    standardize: bool,
+    aug_gamma: float,
+    aug_illum: float,
+    aug_noise: float,
+) -> Callable:
+    """The train-step input pipeline as one traceable function:
+    (images, masks, weights, key) -> (images, targets, weights).
+
+    Augmentation order: elastic -> photometric (gamma/illumination, [0,1]
+    domain) -> per-item standardization -> additive noise (final-input
+    units). The elastic stage consumes `key` unchanged so augment-only runs
+    reproduce earlier checkpoints bit-for-bit; the photometric/noise stages
+    fold distinct constants into the same key. Shared by the single-device
+    jit step and the shard_map data-parallel lanes step (the latter runs it
+    under GSPMD *outside* shard_map so the key semantics stay identical)."""
+
+    def apply(images, masks, weights, key):
+        if augment:
+            # Fresh field per item, image bilinear / labels nearest, weight
+            # maps intentionally NOT deformed — all exactly the reference's
+            # per-__getitem__ behavior (reference: utils/dataset.py:83-93).
+            images, masks = elastic_deform_batch(
+                key, images, masks, alpha=elastic_alpha, sigma=elastic_sigma
+            )
+            if aug_gamma > 0 or aug_illum > 0:
+                images = photometric_augment_batch(
+                    jax.random.fold_in(key, 1), images,
+                    gamma_log=aug_gamma, illum=aug_illum,
+                )
+        if standardize:
+            images = standardize_batch(images)
+        if augment and aug_noise > 0:
+            images = gaussian_noise_batch(
+                jax.random.fold_in(key, 2), images, aug_noise
+            )
+        if three_class:
+            targets = three_class_targets(masks)
+            if border_boost != 1.0:
+                # the border class is rare; boost its pixels in the weight
+                # map so the loss actually prices separation errors
+                weights = jnp.where(
+                    targets == 2, weights * border_boost, weights
+                )
+        else:
+            targets = (masks > 0).astype(jnp.int32)
+        return images, targets, weights
+
+    return apply
 
 
 #: jax.checkpoint policies selectable by name for the train-step forward.
@@ -117,33 +177,13 @@ def make_train_step(
     fold distinct constants into the same key.
     """
 
+    augmenter = make_augmenter(
+        augment, elastic_alpha, elastic_sigma, three_class, border_boost,
+        standardize, aug_gamma, aug_illum, aug_noise,
+    )
+
     def step(state: TrainState, images, masks, weights, valid, key):
-        if augment:
-            # Fresh field per item, image bilinear / labels nearest, weight
-            # maps intentionally NOT deformed — all exactly the reference's
-            # per-__getitem__ behavior (reference: utils/dataset.py:83-93).
-            images, masks = elastic_deform_batch(
-                key, images, masks, alpha=elastic_alpha, sigma=elastic_sigma
-            )
-            if aug_gamma > 0 or aug_illum > 0:
-                images = photometric_augment_batch(
-                    jax.random.fold_in(key, 1), images,
-                    gamma_log=aug_gamma, illum=aug_illum,
-                )
-        if standardize:
-            images = standardize_batch(images)
-        if augment and aug_noise > 0:
-            images = gaussian_noise_batch(
-                jax.random.fold_in(key, 2), images, aug_noise
-            )
-        if three_class:
-            targets = three_class_targets(masks)
-            if border_boost != 1.0:
-                # the border class is rare; boost its pixels in the weight
-                # map so the loss actually prices separation errors
-                weights = jnp.where(targets == 2, weights * border_boost, weights)
-        else:
-            targets = (masks > 0).astype(jnp.int32)
+        images, targets, weights = augmenter(images, masks, weights, key)
 
         if lanes:
             # lanes-native hot stages (enc0/up3/dec3 as Pallas custom-VJP
