@@ -64,16 +64,25 @@ def main() -> int:
     # Tier-1 lanes-native forward (infer/lanes_net.py), on TPU by default:
     # 61.66 vs 55.41 MPix/s for plain XLA at the 700-tile geometry
     # (UNETSEG_LANES_NET=0 reverts to the XLA folded forward).
-    from unetseg_tpu.infer.lanes_net import folded_forward_tier1, supports
+    from unetseg_tpu.infer.lanes_net import (
+        folded_forward_tier1,
+        supports,
+        supports_tier2,
+    )
 
     use_lanes = (
         jax.default_backend() == "tpu"
         and os.environ.get("UNETSEG_LANES_NET", "1") == "1"
         and supports(ModelConfig(), tile_in)
     )
+    use_t2 = (
+        use_lanes
+        and os.environ.get("UNETSEG_LANES_TIER2", "1") == "1"
+        and supports_tier2(ModelConfig(), tile_in)
+    )
     if use_lanes:
         apply_fn = lambda fv, x: folded_forward_tier1(
-            fv["params"], x, ModelConfig()
+            fv["params"], x, ModelConfig(), tier2=use_t2
         )
     else:
         apply_fn = lambda fv, x: fmodel.apply(fv, x)

@@ -50,3 +50,29 @@ def test_tier1_three_class_head():
     got = folded_forward_tier1(fvars["params"], x, cfg, interpret=True)
     assert got.shape == ref.shape == (1, 4, 4, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+def test_supports_tier2_geometries():
+    from unetseg_tpu.infer.lanes_net import supports_tier2
+
+    assert supports_tier2(ModelConfig(), 512)
+    assert supports_tier2(ModelConfig(), 700)
+    assert supports_tier2(ModelConfig(base_features=8), 188)
+    # dense kernels need CI sublane tiles: f0=4 stays tier-1 only
+    assert not supports_tier2(ModelConfig(base_features=4), 188)
+
+
+def test_tier2_matches_folded_unet():
+    cfg = ModelConfig(base_features=8, compute_dtype="float32")
+    model = UNet(cfg=cfg)
+    v = init_unet(model, jax.random.key(2), input_size=188)
+    fmodel, fvars = fold_batchnorm(cfg, v)
+    x = jnp.asarray(
+        np.random.RandomState(2).rand(2, 188, 188, 1).astype(np.float32)
+    )
+    ref = fmodel.apply(fvars, x)
+    got = folded_forward_tier1(
+        fvars["params"], x, cfg, interpret=True, tier2=True
+    )
+    assert got.shape == ref.shape == (2, 4, 4, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)

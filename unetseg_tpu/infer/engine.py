@@ -98,14 +98,19 @@ class Predictor:
                 from unetseg_tpu.infer.lanes_net import (
                     folded_forward_tier1,
                     supports,
+                    supports_tier2,
                 )
 
                 cfg = self.model.cfg
                 base_apply = apply_fn
+                want_t2 = os.environ.get("UNETSEG_LANES_TIER2", "1") == "1"
 
                 def apply_fn(v, x):
                     if x.shape[1] == x.shape[2] and supports(cfg, x.shape[1]):
-                        return folded_forward_tier1(v["params"], x, cfg)
+                        t2 = want_t2 and supports_tier2(cfg, x.shape[1])
+                        return folded_forward_tier1(
+                            v["params"], x, cfg, tier2=t2
+                        )
                     return base_apply(v, x)
         else:
             self._variables = {

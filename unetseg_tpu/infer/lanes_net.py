@@ -36,10 +36,13 @@ from unetseg_tpu.core.config import ModelConfig
 from unetseg_tpu.models.shapes import unet_shapes
 from unetseg_tpu.models.unet import center_crop_nhwc
 from unetseg_tpu.ops.pallas.conv3x3 import (
+    conv3x3_lanes,
     conv3x3_phase2,
+    dec_conv0_lanes,
     dec_conv0_phase2,
     from_lanes,
     from_lanes_p2,
+    from_lanes_sparse2,
     lane_stride,
     tconv2x2_phase2,
     to_lanes,
@@ -66,6 +69,26 @@ def supports(model_cfg: ModelConfig, input_size: int) -> bool:
         return False
     st0 = lane_stride(-(-input_size // 2))
     if sh.decoder[-2] > st0:  # dec2 width must fit one encoder-stride span
+        return False
+    return True
+
+
+def supports_tier2(model_cfg: ModelConfig, input_size: int) -> bool:
+    """True when the tier-2 region (enc1 + dec2 in dense lanes) can also
+    run this geometry on top of tier 1."""
+    if not supports(model_cfg, input_size):
+        return False
+    if model_cfg.base_features % 8:  # dense kernels need CI sublane tiles
+        return False
+    sh = unet_shapes(input_size, model_cfg.levels)
+    st0 = lane_stride(-(-input_size // 2))
+    # dec2 tap/roll extents must stay in each item's dead tail lanes
+    enc1_out = sh.encoder[1]
+    dec2_in = sh.crops[-2]
+    lane_off = (enc1_out - dec2_in) // 2
+    if (enc1_out - dec2_in) % 2:
+        return False
+    if dec2_in - 2 + lane_off + 2 > st0:
         return False
     return True
 
@@ -99,9 +122,19 @@ def folded_forward_tier1(
     x: jnp.ndarray,
     model_cfg: ModelConfig,
     interpret: bool = False,
+    tier2: bool = False,
 ) -> jnp.ndarray:
     """(B, S, S, 1) -> (B, s', s', num_classes) f32 logits; `params` is the
-    folded tree from infer/folding.fold_batchnorm."""
+    folded tree from infer/folding.fold_batchnorm.
+
+    With tier2 the lanes region extends one level deeper: enc1's convs run
+    as dense-layout lanes kernels DIRECTLY on enc0's fused-pool output
+    (which is already a dense lanes tensor at the encoder stride — zero
+    boundary cost), with the enc1->enc2 pool fused into enc1's second conv
+    (sparse even-lane output, strided exit); and dec2 runs as
+    dec_conv0_lanes (skip1 consumed in lanes, crop folded into DMA
+    offset + rolls) + conv3x3_lanes, feeding up3's tconv its dense lanes
+    input directly (removing tier 1's to_lanes boundary)."""
     dtype = jnp.dtype(model_cfg.compute_dtype)
     b, s, _, cin = x.shape
     assert cin == 1
@@ -143,13 +176,32 @@ def folded_forward_tier1(
         h_valid=s - 2, raw_rows=True,
     )
     wp0 = (s - 4) // 2
-    x1 = from_lanes(pooled[:wp0], b, wp0)  # NHWC (B, wp0, wp0, f0)
+
+    # ---- encoder level 1 (tier 2): dense lanes on the pooled tensor ----
+    skip1 = None
+    if tier2:
+        f1 = 2 * f0
+        k10, b10 = cb(params["enc1"]["conv0"])
+        h1 = conv3x3_lanes(
+            pooled, k10, one(f1), b10, st0, interpret=interpret,
+            h_valid=wp0, raw_rows=True,
+        )
+        k11, b11 = cb(params["enc1"]["conv1"])
+        skip1, pooled1 = conv3x3_lanes(
+            h1, k11, one(f1), b11, st0, interpret=interpret,
+            h_valid=wp0 - 2, raw_rows=True, fuse_pool=True,
+        )
+        wp1 = (wp0 - 4) // 2
+        xm = from_lanes_sparse2(pooled1[:wp1], b, wp1)  # NHWC quarter res
+        start_lvl = 2
+    else:
+        xm = from_lanes(pooled[:wp0], b, wp0)  # NHWC (B, wp0, wp0, f0)
+        start_lvl = 1
 
     # ---- middle: NHWC (XLA is at/near roofline here) ----
     skips = []
-    xm = x1
-    for lvl in range(1, model_cfg.levels):
-        if lvl > 1:
+    for lvl in range(start_lvl, model_cfg.levels):
+        if lvl > start_lvl:
             xm = jax.lax.reduce_window(
                 xm, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
@@ -157,29 +209,54 @@ def folded_forward_tier1(
         skips.append(xm)
 
     xm = skips[-1]
-    for i in range(model_cfg.levels - 2):  # dec0..dec2
+    n_dec_nhwc = model_cfg.levels - (3 if tier2 else 2)
+    for i in range(n_dec_nhwc):  # dec0..dec2 (dec0..dec1 with tier2)
         xm = _tconv_nhwc(xm, params[f"up{i}_tconv"], dtype)
         skip = skips[-(i + 2)]
         skip_c = center_crop_nhwc(skip, xm.shape[1], xm.shape[2])
         xm = jnp.concatenate([skip_c, xm.astype(dtype)], axis=-1)
         xm = _block_nhwc(xm, params[f"dec{i}"], dtype)
 
-    # ---- decoder level 0: lanes ----
     dlast = model_cfg.levels - 2  # dec3 for 5 levels
     up_w = sh.crops[-1]
-    # up3 input is dense 1-phase at the encoder stride
-    d2w = xm.shape[2]
-    if lane_stride(d2w) != st0:
-        if lane_stride(d2w) > st0:
-            raise ValueError("decoder wider than encoder stride")
-        xm = jnp.pad(xm, ((0, 0), (0, 0), (0, st0 - d2w), (0, 0)))
-        tl = xm.transpose(1, 3, 0, 2).reshape(xm.shape[1], xm.shape[3], b * st0)
+    if tier2:
+        # ---- decoder level 1 (tier 2): dense lanes ----
+        d2 = model_cfg.levels - 3  # dec2
+        up2 = _tconv_nhwc(xm, params[f"up{d2}_tconv"], dtype)
+        d2w = up2.shape[2]  # == sh.crops[-2]
+        if st0 > d2w:
+            up2 = jnp.pad(up2, ((0, 0), (0, 0), (0, st0 - d2w), (0, 0)))
+        ul = up2.transpose(1, 3, 0, 2).reshape(d2w, up2.shape[3], b * st0)
+        off2 = (wp0 - 4 - d2w) // 2  # enc1-out minus dec2-in, halved
+        kd20, bd20 = cb(params[f"dec{d2}"]["conv0"])
+        y2 = dec_conv0_lanes(
+            skip1, ul, kd20, one(f1), bd20, st0,
+            out_rows=d2w - 2, row_off=off2, lane_off=off2,
+            interpret=interpret, raw_rows=True,
+        )
+        kd21, bd21 = cb(params[f"dec{d2}"]["conv1"])
+        tl = conv3x3_lanes(
+            y2, kd21, one(f1), bd21, st0, interpret=interpret,
+            h_valid=d2w - 2, raw_rows=True,
+        )
+        tconv_hv = d2w - 4  # valid rows of the dense up3 input
     else:
-        tl = to_lanes(xm)
+        # up3 input is dense 1-phase at the encoder stride
+        d2w = xm.shape[2]
+        if lane_stride(d2w) != st0:
+            if lane_stride(d2w) > st0:
+                raise ValueError("decoder wider than encoder stride")
+            xm = jnp.pad(xm, ((0, 0), (0, 0), (0, st0 - d2w), (0, 0)))
+            tl = xm.transpose(1, 3, 0, 2).reshape(
+                xm.shape[1], xm.shape[3], b * st0
+            )
+        else:
+            tl = to_lanes(xm)
+        tconv_hv = 0
     pu = params[f"up{dlast}_tconv"]
     up_l = tconv2x2_phase2(
         tl, pu["kernel"], pu["bias"].reshape(-1, 1), st0,
-        interpret=interpret, raw_rows=True,
+        interpret=interpret, raw_rows=True, h_valid=tconv_hv,
     )
 
     row_off = (sh.encoder[0] - up_w) // 2

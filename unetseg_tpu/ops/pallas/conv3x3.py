@@ -68,7 +68,7 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
 
 def _kernel_v2(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
                *, relu, lb, ci, co, rows, nby, nbl, segs=3, pool_ref=None,
-               seg_shifts=None):
+               seg_shifts=None, pool_dense=False):
     """Pipelined variant: double-buffered window DMA across grid steps,
     `rows` output rows per MXU dot, `segs` lane-tap segments.
 
@@ -86,6 +86,10 @@ def _kernel_v2(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
       output: row pairs are maxed across the unrolled row loop and, for the
       2-phase layout, the phase pair (out channel halves) collapses to the
       dense 1-phase pooled tensor — the pool costs no extra memory pass.
+    - pool_dense pools a DENSE 1-phase conv output instead: the column pair
+      collapses by a lane roll-left max, so EVEN lanes of pool_ref hold the
+      pooled columns (lane 2j = max over cols 2j,2j+1 and the row pair);
+      odd lanes are garbage the caller's strided exit discards.
     """
     by = pl.program_id(0)
     bl = pl.program_id(1)
@@ -133,8 +137,12 @@ def _kernel_v2(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
                 acc = jnp.maximum(acc, 0.0)
             out_ref[r + p] = acc.astype(out_ref.dtype)
             if pool_ref is not None:
-                half = co // 2
-                m = jnp.maximum(acc[:half], acc[half:])  # phase pair
+                if pool_dense:
+                    # column pair via roll-left max; even lanes valid
+                    m = jnp.maximum(acc, pltpu.roll(acc, lb - 1, 1))
+                else:
+                    half = co // 2
+                    m = jnp.maximum(acc[:half], acc[half:])  # phase pair
                 if (r + p) % 2 == 0:
                     prev = m
                 else:
@@ -174,12 +182,15 @@ def _rows_per_dot(ci: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("item_stride", "relu", "interpret", "rows", "pipelined"),
+    static_argnames=("item_stride", "relu", "interpret", "rows", "pipelined",
+                     "h_valid", "raw_rows", "fuse_pool"),
 )
 def conv3x3_lanes(x, w_hwio, scale, bias, item_stride: int,
                   relu: bool = True, interpret: bool = False,
-                  rows: int = 0, pipelined: bool = True):
-    """Fused 3x3 VALID conv + affine + ReLU in the lanes layout.
+                  rows: int = 0, pipelined: bool = True,
+                  h_valid: int = 0, raw_rows: bool = False,
+                  fuse_pool: bool = False):
+    """Fused 3x3 VALID conv + affine + ReLU in the dense lanes layout.
 
     x:           (H, CI, L) bf16/f32, L = B * item_stride with item_stride a
                  multiple of 128 (see to_lanes). CI must be a sublane
@@ -188,21 +199,32 @@ def conv3x3_lanes(x, w_hwio, scale, bias, item_stride: int,
     scale, bias: (CO, 1) f32 epilogue affine.
     rows:        output rows per dot (0 = auto); pipelined selects the
                  double-buffered-DMA kernel.
-    Returns (H-2 rounded up to TH, CO, L); the caller slices [:H-2] and
-    keeps only each item's first W-2 columns.
+    h_valid/raw_rows: the valid-rows protocol (see conv3x3_phase2) — pad
+                 once at ingest, let garbage tail rows flow, slice at exit.
+    fuse_pool:   also emit the 2x2 max-pool of the conv output as a SPARSE
+                 dense-lanes tensor: even lane 2j = pooled column j, odd
+                 lanes garbage (the column pair collapses by a lane
+                 roll-max in the epilogue; callers exit with a ::2 slice).
+    Returns (H-2 rounded up to TH [+spare], CO, L) — and the sparse pooled
+    tensor when fuse_pool; the caller slices [:ho] (unless raw_rows) and
+    keeps only each item's first W-2 valid columns.
     """
     h, ci, lanes = x.shape
     co = w_hwio.shape[3]
     rows = rows or _rows_per_dot(ci)
-    ho = h - 2
+    hv = h_valid or h
+    ho = hv - 2
     nby = -(-ho // TH)
     h_pad = (nby - 1) * TH + WIN
     if h_pad > h:
         x = jnp.pad(x, ((0, h_pad - h), (0, 0), (0, 0)))
     isz = x.dtype.itemsize
     bpl = (2 * WIN * ci + 2 * TH * co) * isz + 3 * co * 4
+    if fuse_pool:
+        bpl += (TH // 2) * co * isz
     lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
     nbl = lanes // lb
+    spare = TH if raw_rows else 0
 
     if pipelined:
         w_all = pack_w_banded(w_hwio.astype(x.dtype), rows)
@@ -215,30 +237,66 @@ def conv3x3_lanes(x, w_hwio, scale, bias, item_stride: int,
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
+        assert not fuse_pool, "fuse_pool requires the pipelined kernel"
         w_all = pack_w_all(w_hwio.astype(x.dtype))
         kernel = functools.partial(_kernel, relu=relu, lb=lb, ci=ci, co=co)
         scratch = [
             pltpu.VMEM((WIN, ci, lb), x.dtype),
             pltpu.SemaphoreType.DMA,
         ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),    # x (manual DMA)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # w_all
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # scale
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # bias
+    ]
+    out_specs = pl.BlockSpec(
+        (TH, co, lb), lambda by, bl: (by, 0, bl), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((nby * TH + spare, co, lanes), x.dtype)
+    if fuse_pool:
+        def kernel_fp(x_ref, w_ref, s_ref, b_ref, out_ref, pool_ref,
+                      win_ref, sem):
+            _kernel_v2(
+                x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
+                relu=relu, lb=lb, ci=ci, co=co, rows=rows,
+                nby=nby, nbl=nbl, pool_ref=pool_ref, pool_dense=True,
+            )
+
+        out, pooled = pl.pallas_call(
+            kernel_fp,
+            grid=(nby, nbl),
+            in_specs=in_specs,
+            out_specs=(
+                out_specs,
+                pl.BlockSpec(
+                    (TH // 2, co, lb), lambda by, bl: (by, 0, bl),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=(
+                out_shape,
+                # full spare TH block — see conv3x3_phase2's fuse_pool note
+                jax.ShapeDtypeStruct(
+                    (nby * TH // 2 + spare, co, lanes), x.dtype
+                ),
+            ),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(x, w_all, scale, bias)
+        if raw_rows:
+            return out, pooled
+        return out[:ho], pooled[: ho // 2]
     out = pl.pallas_call(
         kernel,
         grid=(nby, nbl),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # w_all
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # scale
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias
-        ],
-        out_specs=pl.BlockSpec(
-            (TH, co, lb), lambda by, bl: (by, 0, bl),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((nby * TH, co, lanes), x.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
     )(x, w_all, scale, bias)
-    return out[:ho]
+    return out if raw_rows else out[:ho]
 
 
 def lane_stride(w: int) -> int:
@@ -382,8 +440,12 @@ def conv3x3_phase2(x, w_hwio, scale, bias, item_stride: int,
             ),
             out_shape=(
                 out_shape,
+                # a FULL spare TH block on the pooled tensor (not spare//2):
+                # a following lanes conv at half resolution needs
+                # (nby'-1)*TH + WIN rows, which one TH block always covers —
+                # spare//2 can fall 2 rows short and force a full-tensor pad
                 jax.ShapeDtypeStruct(
-                    (nby * TH // 2 + spare // 2, co, lanes), x.dtype
+                    (nby * TH // 2 + spare, co, lanes), x.dtype
                 ),
             ),
             scratch_shapes=[
@@ -644,6 +706,143 @@ def dec_conv0_phase2(skip, up, w_hwio, scale, bias, item_stride: int,
         interpret=interpret,
     )(skip, up, w_s, w_u, s2, b2)
     return out if raw_rows else out[:out_rows]
+
+
+def _kernel_dec0_dense(skip_ref, up_ref, ws_ref, wu_ref, s_ref, b_ref,
+                       out_ref, wins_ref, winu_ref, sems, *, relu, lb, cis,
+                       ciu, co, nby, nbl, row_off, lane_off):
+    """Dense-layout decoder-entry conv: 3x3 VALID over
+    concat(center-cropped skip, up), both DENSE 1-phase lanes tensors,
+    without materializing the crop or the concat. The skip's crop is a
+    static DMA row offset plus `lane_off` added to its three kx-tap rolls
+    (dense layout: lane == column, so any integer column offset works —
+    no phase-parity constraint). Two dots per row accumulate into one
+    epilogue."""
+    by = pl.program_id(0)
+    bl = pl.program_id(1)
+    step = by * nbl + bl
+
+    def dma_skip(stp):
+        # single-buffered: issued at step start, waited right before use
+        return pltpu.make_async_copy(
+            skip_ref.at[pl.ds(row_off + (stp // nbl) * TH, WIN), :,
+                        pl.ds((stp % nbl) * lb, lb)],
+            wins_ref,
+            sems.at[0, 0],
+        )
+
+    def dma_up(slot, stp):
+        return pltpu.make_async_copy(
+            up_ref.at[pl.ds((stp // nbl) * TH, WIN), :,
+                      pl.ds((stp % nbl) * lb, lb)],
+            winu_ref.at[slot],
+            sems.at[1, slot],
+        )
+
+    dma_skip(step).start()
+
+    @pl.when(step == 0)
+    def _():
+        dma_up(0, 0).start()
+
+    @pl.when(step + 1 < nby * nbl)
+    def _():
+        dma_up((step + 1) % 2, step + 1).start()
+
+    dma_up(step % 2, step).wait()
+    dma_skip(step).wait()
+    wins = wins_ref
+    winu = winu_ref.at[step % 2]
+
+    for r in range(TH):
+        xs = wins[r : r + 3].reshape(3 * cis, lb)
+        xu = winu[r : r + 3].reshape(3 * ciu, lb)
+        ys = jnp.dot(ws_ref[:], xs, preferred_element_type=jnp.float32)
+        yu = jnp.dot(wu_ref[:], xu, preferred_element_type=jnp.float32)
+        acc = (
+            yu[:co]
+            + pltpu.roll(yu[co : 2 * co], lb - 1, 1)
+            + pltpu.roll(yu[2 * co :], lb - 2, 1)
+        )
+        acc = acc + pltpu.roll(ys[:co], (lb - lane_off) % lb, 1)
+        acc = acc + pltpu.roll(ys[co : 2 * co], lb - lane_off - 1, 1)
+        acc = acc + pltpu.roll(ys[2 * co :], lb - lane_off - 2, 1)
+        acc = acc * s_ref[:] + b_ref[:]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        out_ref[r] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("item_stride", "out_rows", "row_off", "lane_off",
+                     "relu", "interpret", "raw_rows"),
+)
+def dec_conv0_lanes(skip, up, w_hwio, scale, bias, item_stride: int,
+                    out_rows: int, row_off: int, lane_off: int,
+                    relu: bool = True, interpret: bool = False,
+                    raw_rows: bool = False):
+    """First decoder conv of a block in the DENSE lanes layout:
+    conv3x3(concat(crop(skip), up)).
+
+    skip: (H_s, CI_s, L) dense; up: (H_u, CI_u, L) dense, same L.
+    w_hwio: (3, 3, CI_s + CI_u, CO) — the trained concat-conv kernel, skip
+    channels first (FoldedUNet concat order). The crop offset is (row_off,
+    lane_off) pixels with no parity constraint (dense lanes: lane ==
+    column). Returns (out_rows [+spare], CO, L)."""
+    h_u, ciu, lanes = up.shape
+    _, cis, _ = skip.shape
+    co = w_hwio.shape[3]
+    nby = -(-out_rows // TH)
+    need_s = row_off + (nby - 1) * TH + WIN
+    if need_s > skip.shape[0]:
+        skip = jnp.pad(skip, ((0, need_s - skip.shape[0]), (0, 0), (0, 0)))
+    need_u = (nby - 1) * TH + WIN
+    if need_u > h_u:
+        up = jnp.pad(up, ((0, need_u - h_u), (0, 0), (0, 0)))
+    isz = up.dtype.itemsize
+    bpl = (WIN * cis + 2 * WIN * ciu + 2 * TH * co) * isz + 3 * 2 * co * 4
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
+    # roll garbage from the skip's lane_off+2 left-shift must land in dead
+    # tail lanes only (same argument as the kx taps)
+    assert lane_off + 2 + out_rows <= item_stride, "crop shift exceeds tail"
+
+    nbl = lanes // lb
+    dtype = up.dtype
+    w_s = pack_w_all(w_hwio[:, :, :cis].astype(dtype))
+    w_u = pack_w_all(w_hwio[:, :, cis:].astype(dtype))
+    spare = TH if raw_rows else 0
+    kernel = functools.partial(
+        _kernel_dec0_dense, relu=relu, lb=lb, cis=cis, ciu=ciu, co=co,
+        nby=nby, nbl=nbl, row_off=row_off, lane_off=lane_off,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nby, nbl),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(
+            (TH, co, lb), lambda by, bl: (by, 0, bl),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nby * TH + spare, co, lanes), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((WIN, cis, lb), dtype),
+            pltpu.VMEM((2, WIN, ciu, lb), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(skip, up, w_s, w_u, scale, bias)
+    return out if raw_rows else out[:out_rows]
+
+
+def from_lanes_sparse2(x_l: jnp.ndarray, b: int, w_valid: int) -> jnp.ndarray:
+    """Sparse pooled dense-lanes (H, C, B*stride) -> (B, H, w_valid, C):
+    valid columns live at EVEN lanes (conv3x3_lanes fuse_pool output)."""
+    h, c, bl = x_l.shape
+    stride = bl // b
+    xs = x_l.reshape(h, c, b, stride)[:, :, :, : 2 * w_valid : 2]
+    return xs.transpose(2, 0, 3, 1)
 
 
 def to_lanes_p2(x_nhwc: jnp.ndarray) -> jnp.ndarray:
