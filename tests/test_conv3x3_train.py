@@ -94,3 +94,68 @@ def test_conv_p2_train_grads_with_garbage_tail():
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), atol=3e-3,
                                rtol=1e-4)
+
+
+# ----------------------------------------------------- dense-layout VJP
+def test_conv_dense_train_grads_match_lax():
+    from unetseg_tpu.ops.pallas.conv3x3 import from_lanes, to_lanes
+    from unetseg_tpu.ops.pallas.conv3x3_train import make_conv_dense_train
+
+    n = 21
+    x, w, bb, ct = _setup(n, seed=13)
+    stride = lane_stride(n)
+    conv = make_conv_dense_train(stride, h_valid=n, interpret=True)
+
+    def loss_lanes(x, w, bb):
+        z = conv(to_lanes(x), w, bb)
+        zv = from_lanes(z[: n - 2], 2, n - 2)
+        return jnp.sum(zv * ct)
+
+    def loss_ref(x, w, bb):
+        z = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bb
+        return jnp.sum(z * ct)
+
+    g_lanes = jax.grad(loss_lanes, argnums=(0, 1, 2))(x, w, bb)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, bb)
+    for got, ref, name, tol in zip(
+        g_lanes, g_ref, ("dx", "dw", "db"), (2e-4, 3e-3, 3e-3)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=tol, rtol=1e-4,
+            err_msg=name,
+        )
+
+
+def test_conv_dense_train_grads_with_garbage_tail():
+    from unetseg_tpu.ops.pallas.conv3x3 import from_lanes, to_lanes
+    from unetseg_tpu.ops.pallas.conv3x3_train import make_conv_dense_train
+
+    n = 21
+    x, w, bb, ct = _setup(n, seed=14)
+    stride = lane_stride(n)
+    conv = make_conv_dense_train(stride, h_valid=n, interpret=True)
+    xl = to_lanes(x)
+    garbage = jnp.full((5, xl.shape[1], xl.shape[2]), jnp.nan, xl.dtype)
+    xl_g = jnp.concatenate([xl, garbage], axis=0)
+
+    def loss(w, bb):
+        z = conv(xl_g, w, bb)
+        zv = from_lanes(z[: n - 2], 2, n - 2)
+        return jnp.sum(zv * ct)
+
+    dw, db = jax.grad(loss, argnums=(0, 1))(w, bb)
+    assert np.isfinite(np.asarray(dw)).all()
+
+    def loss_ref(w, bb):
+        z = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bb
+        return jnp.sum(z * ct)
+
+    dw_ref, db_ref = jax.grad(loss_ref, argnums=(0, 1))(w, bb)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=3e-3,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), atol=3e-3,
+                               rtol=1e-4)

@@ -128,6 +128,75 @@ def _pool_lanes_p2(x, nch, h_valid):
     return jnp.maximum(m[:, :nch], m[:, nch:])
 
 
+def _bn_stats_lanes_dense(z, h_valid, w_valid, item_mask, item_stride,
+                          axis_name=None):
+    """Masked one-pass fp32 batch statistics of a DENSE (Hbuf, C, L) lanes
+    tensor (single lane mask: lane < w_valid)."""
+    n_items = z.shape[2] // item_stride
+    m = jnp.broadcast_to(
+        jnp.tile(jnp.arange(item_stride) < w_valid, n_items)[None, :],
+        (z.shape[1], z.shape[2]),
+    )
+    if item_mask is not None:
+        im = jnp.repeat(item_mask, item_stride)
+        m = m & im[None, :]
+    zm = jnp.where(m[None], z, 0)[:h_valid]
+    s = jnp.sum(zm, axis=(0, 2), dtype=jnp.float32)
+    sq = jnp.sum(jnp.square(zm), axis=(0, 2), dtype=jnp.float32)
+    if item_mask is None:
+        n = jnp.float32(n_items * h_valid * w_valid)
+    else:
+        n = jnp.sum(item_mask.astype(jnp.float32)) * h_valid * w_valid
+    if axis_name is not None:
+        s, sq, n = jax.lax.psum((s, sq, n), axis_name)
+    n = jnp.maximum(n, 1.0)
+    mean = s / n
+    var = jnp.maximum(sq / n - jnp.square(mean), 0.0)
+    return mean, var, n
+
+
+def _bn_relu_lanes_dense(z, p_bn, stats, h_valid, w_valid, item_mask,
+                         item_stride, momentum, eps, relu=True,
+                         axis_name=None):
+    """BN (training stats) + ReLU on a DENSE lanes tensor."""
+    # zero garbage tail rows FIRST (raw-rows buffers may hold NaN)
+    z = jnp.where((jnp.arange(z.shape[0]) < h_valid)[:, None, None], z, 0)
+    mean, var, n = _bn_stats_lanes_dense(
+        z, h_valid, w_valid, item_mask, item_stride, axis_name
+    )
+    unbias = n / jnp.maximum(n - 1.0, 1.0)
+    new_stats = {
+        "mean": momentum * stats["mean"] + (1 - momentum) * mean,
+        "var": momentum * stats["var"] + (1 - momentum) * var * unbias,
+    }
+    inv = jax.lax.rsqrt(var + eps)
+    a = p_bn["scale"] * inv
+    b = p_bn["bias"] - mean * a
+    if z.dtype != jnp.float32:
+        a, b = a.astype(z.dtype), b.astype(z.dtype)
+    y = z * a[None, :, None] + b[None, :, None]
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y, new_stats
+
+
+def _pool_lanes_dense(x, h_valid):
+    """2x2 max pool of a dense lanes tensor, staying in lanes: rows halve
+    via strided slices, columns via a lane roll-max — EVEN lanes of the
+    result hold the pooled columns (odd lanes garbage)."""
+    hp = h_valid // 2
+    a = jnp.maximum(x[0 : 2 * hp : 2], x[1 : 2 * hp : 2])
+    return jnp.maximum(a, jnp.roll(a, -1, axis=2))
+
+
+def _sparse_to_nhwc(x, b, w_valid):
+    """(H, C, B*stride) sparse even-lane tensor -> (B, H, w_valid, C)."""
+    h, c, bl = x.shape
+    stride = bl // b
+    xs = x.reshape(h, c, b, stride)[:, :, :, : 2 * w_valid : 2]
+    return xs.transpose(2, 0, 3, 1)
+
+
 # ------------------------------------------------------------------ tconv
 def make_tconv_p2_train(item_stride: int, interpret: bool = False):
     """Training k=2 s=2 tconv: Pallas forward (dense 1-phase in, 2-phase
@@ -236,13 +305,26 @@ def train_forward_lanes(
     item_mask: Optional[jnp.ndarray] = None,
     interpret: bool = False,
     axis_name: Optional[str] = None,
+    tier2: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Training forward == UNet.apply(train=True, mutable=['batch_stats'])
     with enc0 and up3/dec3 in the 2-phase lanes layout.
 
     x: (B, S, S, 1); returns (logits f32, new_batch_stats). Inside a
     shard_map over a data-parallel mesh axis, pass `axis_name` so the batch
-    statistics are psummed to global — see parallel/sharding.py."""
+    statistics are psummed to global — see parallel/sharding.py.
+
+    tier2 (None = opt-in via the UNETSEG_LANES_TIER2_TRAIN env, gated by
+    infer.lanes_net.supports_tier2) extends the lanes region one level
+    deeper: enc1 and dec2 run as DENSE-layout custom-VJP Pallas convs
+    (ops/pallas/conv3x3_train.make_conv_dense_train) directly on enc0's
+    pooled lanes tensor, with the enc1->enc2 pool as a lanes roll-max and
+    the dec2 skip crop as a lane roll + row slice. OFF by default: measured
+    on the v5e it is ~3.7 ms/step SLOWER than tier 1 (49.9 vs 46.2 no-aug)
+    — the full-tensor jnp.roll glue and its transpose (~3.5 ms of concat/
+    add_any that cannot fuse across the pallas_call boundaries) eat the
+    conv win. The fix, if revisited, is folding the pool/crop rolls into
+    the dense kernels' epilogue/prologue (pltpu.roll on the f32 output)."""
     cfg = model_cfg
     dtype = jnp.dtype(cfg.compute_dtype)
     mom, eps = cfg.bn_momentum, cfg.bn_epsilon
@@ -277,12 +359,53 @@ def train_forward_lanes(
     new_stats["enc0"] = {"bn0": bn0, "bn1": bn1}
     pooled = _pool_lanes_p2(skip0, f0, s - 4)
     wp0 = (s - 4) // 2
-    xm = from_lanes(pooled[:wp0], b, wp0)
 
-    # ---- NHWC middle: enc1..enc4, dec0..dec2 ----
+    if tier2 is None:
+        import os
+
+        from unetseg_tpu.infer.lanes_net import supports_tier2
+
+        tier2 = (
+            os.environ.get("UNETSEG_LANES_TIER2_TRAIN", "0") == "1"
+            and supports_tier2(cfg, s)
+        )
+
+    # ---- enc1 (tier 2): dense lanes on the pooled tensor ----
+    skip1_l = None
+    if tier2:
+        from unetseg_tpu.ops.pallas.conv3x3_train import make_conv_dense_train
+
+        conv10 = make_conv_dense_train(st0, wp0, interpret=interpret)
+        z10 = conv10(
+            pooled, params["enc1"]["conv0"]["kernel"],
+            params["enc1"]["conv0"]["bias"],
+        )
+        h10, bn10 = _bn_relu_lanes_dense(
+            z10, params["enc1"]["bn0"], batch_stats["enc1"]["bn0"],
+            wp0 - 2, wp0 - 2, item_mask, st0, mom, eps, axis_name=axis_name,
+        )
+        conv11 = make_conv_dense_train(st0, wp0 - 2, interpret=interpret)
+        z11 = conv11(
+            h10, params["enc1"]["conv1"]["kernel"],
+            params["enc1"]["conv1"]["bias"],
+        )
+        skip1_l, bn11 = _bn_relu_lanes_dense(
+            z11, params["enc1"]["bn1"], batch_stats["enc1"]["bn1"],
+            wp0 - 4, wp0 - 4, item_mask, st0, mom, eps, axis_name=axis_name,
+        )
+        new_stats["enc1"] = {"bn0": bn10, "bn1": bn11}
+        wp1 = (wp0 - 4) // 2
+        pooled1 = _pool_lanes_dense(skip1_l, wp0 - 4)
+        xm = _sparse_to_nhwc(pooled1, b, wp1)
+        start_lvl = 2
+    else:
+        xm = from_lanes(pooled[:wp0], b, wp0)
+        start_lvl = 1
+
+    # ---- NHWC middle: enc1..enc4, dec0..dec2 (enc2.., dec0..dec1 tier2) --
     skips = []
-    for lvl in range(1, cfg.levels):
-        if lvl > 1:
+    for lvl in range(start_lvl, cfg.levels):
+        if lvl > start_lvl:
             xm = jax.lax.reduce_window(
                 xm, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
@@ -294,7 +417,7 @@ def train_forward_lanes(
         skips.append(xm)
 
     xm = skips[-1]
-    for i in range(cfg.levels - 2):
+    for i in range(cfg.levels - (3 if tier2 else 2)):
         pu = params[f"up{i}_tconv"]
         xm = jax.lax.conv_transpose(
             xm, pu["kernel"].astype(dtype), (2, 2), "VALID",
@@ -309,15 +432,63 @@ def train_forward_lanes(
         )
         new_stats[f"dec{i}"] = st
 
-    # ---- up3 + dec3 in lanes ----
+    # ---- dec2 (tier 2): dense lanes ----
     dlast = cfg.levels - 2
     up_w = sh.crops[-1]
-    d2w = xm.shape[2]
-    if lane_stride(d2w) != st0:
-        xm = jnp.pad(xm, ((0, 0), (0, 0), (0, st0 - d2w), (0, 0)))
-        tl = xm.transpose(1, 3, 0, 2).reshape(xm.shape[1], xm.shape[3], b * st0)
+    if tier2:
+        d2 = cfg.levels - 3
+        pu2 = params[f"up{d2}_tconv"]
+        up2 = jax.lax.conv_transpose(
+            xm, pu2["kernel"].astype(dtype), (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + pu2["bias"].astype(dtype)
+        u2w = up2.shape[2]  # == sh.crops[-2]
+        # +2 spare rows so the concat matches the crop's window slack
+        up2 = jnp.pad(
+            up2, ((0, 0), (0, 2), (0, max(0, st0 - u2w)), (0, 0))
+        )
+        ul = up2.transpose(1, 3, 0, 2).reshape(
+            u2w + 2, up2.shape[3], b * st0
+        )
+        off2 = (wp0 - 4 - u2w) // 2
+        # crop skip1 to the up geometry: lane roll + row slice (skip1's
+        # garbage rows are already zeroed by the BN; its garbage lanes are
+        # finite and excluded by the conv's backward masks)
+        crop1 = jnp.roll(skip1_l, -off2, axis=2)[off2 : off2 + u2w + 2]
+        cat2 = jnp.concatenate([crop1, ul.astype(crop1.dtype)], axis=1)
+        convd20 = make_conv_dense_train(st0, u2w, interpret=interpret)
+        zd20 = convd20(
+            cat2, params[f"dec{d2}"]["conv0"]["kernel"],
+            params[f"dec{d2}"]["conv0"]["bias"],
+        )
+        hd20, bnd20 = _bn_relu_lanes_dense(
+            zd20, params[f"dec{d2}"]["bn0"], batch_stats[f"dec{d2}"]["bn0"],
+            u2w - 2, u2w - 2, item_mask, st0, mom, eps, axis_name=axis_name,
+        )
+        convd21 = make_conv_dense_train(st0, u2w - 2, interpret=interpret)
+        zd21 = convd21(
+            hd20, params[f"dec{d2}"]["conv1"]["kernel"],
+            params[f"dec{d2}"]["conv1"]["bias"],
+        )
+        hd21, bnd21 = _bn_relu_lanes_dense(
+            zd21, params[f"dec{d2}"]["bn1"], batch_stats[f"dec{d2}"]["bn1"],
+            u2w - 4, u2w - 4, item_mask, st0, mom, eps, axis_name=axis_name,
+        )
+        new_stats[f"dec{d2}"] = {"bn0": bnd20, "bn1": bnd21}
+        # up3's tconv input: already a dense lanes tensor at st0; slice the
+        # valid rows (the tconv and its XLA backward use the full buffer)
+        tl = hd21[: u2w - 4]
     else:
-        tl = to_lanes(xm)
+        d2w = xm.shape[2]
+        if lane_stride(d2w) != st0:
+            xm = jnp.pad(xm, ((0, 0), (0, 0), (0, st0 - d2w), (0, 0)))
+            tl = xm.transpose(1, 3, 0, 2).reshape(
+                xm.shape[1], xm.shape[3], b * st0
+            )
+        else:
+            tl = to_lanes(xm)
+
+    # ---- up3 + dec3 in lanes ----
     pu = params[f"up{dlast}_tconv"]
     tconv = make_tconv_p2_train(st0, interpret=interpret)
     up_l = tconv(tl, pu["kernel"].astype(dtype), pu["bias"].astype(dtype))

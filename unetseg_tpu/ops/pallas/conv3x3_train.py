@@ -237,6 +237,229 @@ def conv3x3_phase2_dw(x, g, gr, item_stride: int, gh_valid: int,
     return jnp.stack([dw0, dw1, dw2], axis=1)  # (3, 3, ci, co)
 
 
+# ------------------------------------------------------- dense-layout VJP
+def pack_w_dense_dx(w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, CI, CO) -> (3*CI, 3*CO) for the DENSE lanes dx conv.
+
+    dx[a, l] = sum_{ky,kx} W[ky,kx]^T g[a-ky, l-kx]: with g zero-padded two
+    rows on top, window tap t = 2-ky pairs W[2-t], and the kx taps become
+    lane RIGHT-shifts {0,-1,-2} (wrapping masked-zero tail lanes — the zero
+    padding of the full correlation). M=(shift s=kx, ci), K=(t, co)."""
+    wf = w_hwio[::-1]  # wf[t] = w[2-t]
+    ci, co = w_hwio.shape[2], w_hwio.shape[3]
+    return wf.transpose(1, 2, 0, 3).reshape(3 * ci, 3 * co)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("item_stride", "gh_valid", "out_rows", "interpret"),
+)
+def conv3x3_dense_dx(g, w_hwio, item_stride: int, gh_valid: int,
+                     out_rows: int = 0, interpret: bool = False):
+    """Input gradient of the dense lanes conv (conv3x3_lanes).
+
+    g: (H_g, CO, L) output gradient, masked (garbage rows and dead tail
+    lanes zeroed). Returns dx (>= max(gh_valid+2, out_rows) rows, CI, L);
+    rows past gh_valid+2 are true zeros."""
+    hg, co, lanes = g.shape
+    ci = w_hwio.shape[2]
+    ho = max(gh_valid + 2, out_rows)
+    nby = -(-ho // TH)
+    need = 2 + (nby - 1) * TH + WIN
+    g = jnp.pad(g, ((2, max(0, need - 2 - hg)), (0, 0), (0, 0)))
+    isz = g.dtype.itemsize
+    bpl = (2 * WIN * co + 2 * TH * ci) * isz + 2 * ci * 4
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
+    nbl = lanes // lb
+
+    w_all = pack_w_dense_dx(w_hwio.astype(g.dtype))
+    ones = jnp.ones((ci, 1), jnp.float32)
+    zeros = jnp.zeros((ci, 1), jnp.float32)
+
+    def kernel(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem):
+        _kernel_v2(
+            x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
+            relu=False, lb=lb, ci=co, co=ci, rows=1,
+            nby=nby, nbl=nbl, segs=3, seg_shifts=(0, -1, -2),
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nby, nbl),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TH, ci, lb), lambda by, bl: (by, 0, bl),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nby * TH + TH, ci, lanes), g.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN, co, lb), g.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(g, w_all, ones, zeros)
+    return out
+
+
+def _kernel_dw_dense(x_ref, g_ref, g1_ref, g2_ref, acc_ref, winx, wing,
+                     wing1, wing2, sems, *, lb, ci, co, nby, nbl):
+    """Accumulate dense dW lane-contractions: acc[s] += X3 @ g_rolled_s per
+    output row (s = kx tap = lane right-roll of g), into one
+    (3, 3*ci, co) f32 block revisited by every grid step."""
+    by = pl.program_id(0)
+    bl = pl.program_id(1)
+    step = by * nbl + bl
+
+    def dma(ref, win, idx, slot, stp, rows):
+        return pltpu.make_async_copy(
+            ref.at[pl.ds((stp // nbl) * TH, rows), :,
+                   pl.ds((stp % nbl) * lb, lb)],
+            win.at[slot],
+            sems.at[idx, slot],
+        )
+
+    def all4(slot, stp):
+        return (
+            dma(x_ref, winx, 0, slot, stp, WIN),
+            dma(g_ref, wing, 1, slot, stp, TH),
+            dma(g1_ref, wing1, 2, slot, stp, TH),
+            dma(g2_ref, wing2, 3, slot, stp, TH),
+        )
+
+    @pl.when(step == 0)
+    def _():
+        for d in all4(0, 0):
+            d.start()
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(step + 1 < nby * nbl)
+    def _():
+        for d in all4((step + 1) % 2, step + 1):
+            d.start()
+
+    for d in all4(step % 2, step):
+        d.wait()
+    wx = winx.at[step % 2]
+    wgs = (wing.at[step % 2], wing1.at[step % 2], wing2.at[step % 2])
+
+    dn = (((1,), (1,)), ((), ()))
+    for r in range(TH):
+        x3 = wx[r : r + 3].reshape(3 * ci, lb)
+        for s in range(3):
+            acc_ref[s] += jax.lax.dot_general(
+                x3, wgs[s][r], dn, preferred_element_type=jnp.float32
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("item_stride", "gh_valid", "interpret")
+)
+def conv3x3_dense_dw(x, g, g1, g2, item_stride: int, gh_valid: int,
+                     interpret: bool = False):
+    """Weight gradient of the dense lanes conv.
+
+    x: (H_x, CI, L) conv input (masked); g: output gradient (masked);
+    g1/g2: g rolled RIGHT 1/2 lanes (jnp.roll — the cross-item wrap pulls
+    masked zeros). Returns dw (3, 3, CI, CO) f32:
+    dW[ky, kx] = sum_{r,j} x[r+ky, j] g[r, j-kx] = acc[kx][ky]."""
+    hx, ci, lanes = x.shape
+    _, co, _ = g.shape
+    nby = -(-gh_valid // TH)
+    need_x = (nby - 1) * TH + WIN
+    if need_x > hx:
+        x = jnp.pad(x, ((0, need_x - hx), (0, 0), (0, 0)))
+    need_g = nby * TH
+    if need_g > g.shape[0]:
+        pad = ((0, need_g - g.shape[0]), (0, 0), (0, 0))
+        g, g1, g2 = jnp.pad(g, pad), jnp.pad(g1, pad), jnp.pad(g2, pad)
+    isz = x.dtype.itemsize
+    bpl = (2 * WIN * ci + 6 * TH * co) * isz
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
+    nbl = lanes // lb
+
+    kernel = functools.partial(
+        _kernel_dw_dense, lb=lb, ci=ci, co=co, nby=nby, nbl=nbl
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid=(nby, nbl),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=pl.BlockSpec(
+            (3, 3 * ci, co), lambda by, bl: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, 3 * ci, co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN, ci, lb), x.dtype),
+            pltpu.VMEM((2, TH, co, lb), x.dtype),
+            pltpu.VMEM((2, TH, co, lb), x.dtype),
+            pltpu.VMEM((2, TH, co, lb), x.dtype),
+            pltpu.SemaphoreType.DMA((4, 2)),
+        ],
+        interpret=interpret,
+    )(x, g, g1, g2)
+    # acc[kx][(ky, ci), co] -> dw[ky, kx, ci, co]
+    return acc.reshape(3, 3, ci, co).transpose(1, 0, 2, 3)
+
+
+def make_conv_dense_train(item_stride: int, h_valid: int, w_valid: int = 0,
+                          interpret: bool = False):
+    """Custom-VJP training conv in the DENSE lanes layout (conv3x3_lanes
+    forward, Pallas dx/dW backward) for fixed static geometry.
+
+    Returned fn: (x (Hbuf, CI, L) lanes bf16/f32, w (3,3,CI,CO) f32,
+    b (CO,) f32) -> z (raw-rows buffer, CO, L). `w_valid` defaults to
+    h_valid (square tiles)."""
+    from unetseg_tpu.ops.pallas.conv3x3 import conv3x3_lanes
+
+    wv = w_valid or h_valid
+    ho = h_valid - 2
+
+    @jax.custom_vjp
+    def conv(x, w, b):
+        return conv3x3_lanes(
+            x, w, jnp.ones((w.shape[3], 1), jnp.float32), b.reshape(-1, 1),
+            item_stride, relu=False, interpret=interpret,
+            h_valid=h_valid, raw_rows=True,
+        )
+
+    def fwd(x, w, b):
+        return conv(x, w, b), (x, w)
+
+    def _mask(t, rows_valid, cols_valid):
+        """Zero garbage rows and dead tail lanes of a dense lanes tensor."""
+        n_items = t.shape[2] // item_stride
+        lane_ids = jnp.arange(item_stride)
+        lm = jnp.tile(lane_ids < cols_valid, n_items)
+        rm = jnp.arange(t.shape[0]) < rows_valid
+        # where, not multiply: garbage can be NaN and NaN * 0 == NaN
+        return jnp.where(rm[:, None, None] & lm[None, None, :], t, 0)
+
+    def bwd(res, g):
+        x, w = res
+        gm = _mask(g, ho, wv - 2)
+        g1 = jnp.roll(gm, 1, axis=2)
+        g2 = jnp.roll(gm, 2, axis=2)
+        xm = _mask(x, h_valid, wv)
+        dx = conv3x3_dense_dx(
+            gm, w, item_stride, gh_valid=ho, out_rows=x.shape[0],
+            interpret=interpret,
+        )[: x.shape[0]]
+        dw = conv3x3_dense_dw(
+            xm, gm, g1, g2, item_stride, gh_valid=ho, interpret=interpret
+        )
+        db = jnp.sum(gm, axis=(0, 2), dtype=jnp.float32)
+        return dx, dw.astype(w.dtype), db.astype(jnp.float32)
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
 def make_conv_p2_train(item_stride: int, h_valid: int, interpret: bool = False):
     """Build the custom-VJP training conv for fixed static geometry.
 
