@@ -158,5 +158,29 @@ def iter_batches(
         )
 
 
+def epoch_index_matrix(
+    indices: Sequence[int],
+    batch_size: int,
+    shuffle: bool,
+    seed: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The batch schedule `iter_batches` would yield, as one (S, B) int32
+    index matrix + (S, B) valid mask — the per-epoch upload for the scanned
+    device-resident feed (train/steps.make_epoch_train_step). Same shuffle
+    seed => identical batch composition as the host-fed path."""
+    idx = np.asarray(indices)
+    if shuffle:
+        idx = np.random.RandomState(seed).permutation(idx)
+    n_steps = num_batches(len(idx), batch_size)
+    mat = np.zeros((n_steps, batch_size), np.int32)
+    valid = np.zeros((n_steps, batch_size), bool)
+    for s in range(n_steps):
+        chunk = idx[s * batch_size : (s + 1) * batch_size]
+        mat[s, : len(chunk)] = chunk
+        mat[s, len(chunk) :] = chunk[0]  # pad like iter_batches
+        valid[s, : len(chunk)] = True
+    return mat, valid
+
+
 def num_batches(n_items: int, batch_size: int) -> int:
     return -(-n_items // batch_size)

@@ -22,6 +22,7 @@ from unetseg_tpu.core.config import Config
 from unetseg_tpu.core.mesh import MeshSpec
 from unetseg_tpu.data.dataset import (
     HeLaArrays,
+    epoch_index_matrix,
     iter_batches,
     num_batches,
     train_val_split,
@@ -157,6 +158,41 @@ def train(
             remat=None if lanes else t_cfg.remat,
             lanes=lanes,
         )
+    # Device-resident feed: scan the step over the epoch (ONE dispatch per
+    # epoch; see TrainConfig.device_data). The host-fed path remains for
+    # meshes (the dataset would need replication + sharding constraints),
+    # per-step profiling, and max_steps debugging.
+    use_scan = (
+        t_cfg.device_data
+        and mesh is None
+        and t_cfg.profile_dir is None
+        and max_steps is None
+    )
+    if use_scan:
+        from unetseg_tpu.train.steps import make_epoch_train_step
+
+        epoch_step = make_epoch_train_step(
+            model,
+            augment=d_cfg.augment,
+            elastic_alpha=d_cfg.elastic_alpha,
+            elastic_sigma=d_cfg.elastic_sigma,
+            donate=t_cfg.donate_state,
+            three_class=three_class,
+            border_boost=t_cfg.border_boost,
+            standardize=d_cfg.standardize,
+            aug_gamma=d_cfg.aug_gamma,
+            aug_illum=d_cfg.aug_illum,
+            aug_noise=d_cfg.aug_noise,
+            remat=None if lanes else t_cfg.remat,
+            lanes=lanes,
+        )
+        dev_images = jax.device_put(data.images)
+        dev_masks = jax.device_put(data.masks)
+        dev_wmaps = jax.device_put(data.weight_maps)
+        data_rng = jax.random.key(t_cfg.seed + 1)
+        logger.log({"event": "device_data", "bytes": int(
+            data.images.nbytes + data.masks.nbytes + data.weight_maps.nbytes
+        )})
     eval_step = make_eval_step(
         model, three_class=three_class, standardize=d_cfg.standardize
     )
@@ -188,10 +224,40 @@ def train(
         pending_losses = []
         n_steps = 0
         timer.reset()
-        for batch in iter_batches(
-            data, train_idx, t_cfg.batch_size, shuffle=True,
-            seed=t_cfg.seed * 100003 + epoch,
-        ):
+        if use_scan:
+            mat, vmat = epoch_index_matrix(
+                train_idx, t_cfg.batch_size, shuffle=True,
+                seed=t_cfg.seed * 100003 + epoch,
+            )
+            ekey = jax.random.fold_in(data_rng, epoch)
+            state, ms = epoch_step(
+                state, dev_images, dev_masks, dev_wmaps, mat, vmat,
+                ekey, np.int32(global_step),
+            )
+            # the one sync point of the epoch (a value fetch — the remote
+            # tunnel does not honor block_until_ready)
+            losses = np.asarray(jax.device_get(ms["loss"]))
+            n_steps = int(mat.shape[0])
+            global_step += n_steps
+            timer.tick(n_steps)
+            epoch_loss = float(losses.sum())
+            if n_steps:
+                logger.log(
+                    {
+                        "event": "train_step",
+                        "epoch": epoch,
+                        "step": global_step,
+                        "loss": float(losses[-1]),
+                        **timer.rates(),
+                    },
+                )
+            epoch_iter = ()
+        else:
+            epoch_iter = iter_batches(
+                data, train_idx, t_cfg.batch_size, shuffle=True,
+                seed=t_cfg.seed * 100003 + epoch,
+            )
+        for batch in epoch_iter:
             rng, step_key = jax.random.split(rng)
             images, masks, weights, valid = _put_batch(batch, mesh)
             if t_cfg.profile_dir and global_step == 1:
@@ -225,24 +291,27 @@ def train(
                 done = True
                 break
 
-        # one stacked transfer instead of n_steps scalar fetches
-        epoch_loss = float(np.sum(np.asarray(jax.device_get(pending_losses))))
+        if not use_scan:
+            # one stacked transfer instead of n_steps scalar fetches
+            epoch_loss = float(
+                np.sum(np.asarray(jax.device_get(pending_losses)))
+            )
         avg_train = epoch_loss / max(n_steps, 1)
 
         # -------------------------------------------------------------- val
         val_metrics: Dict[str, float] = {}
         if len(val_idx) > 0:
-            sums: Dict[str, float] = {}
-            n_val_batches = 0
+            # metrics stay on device until one stacked fetch at the end
+            per_batch = []
             for batch in iter_batches(
                 data, val_idx, t_cfg.batch_size, shuffle=False, seed=0
             ):
                 images, masks, _, valid = _put_batch(batch, mesh)
-                m = eval_step(state, images, masks, valid)
-                for k, v in m.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
-                n_val_batches += 1
-            val_metrics = {k: v / n_val_batches for k, v in sums.items()}
+                per_batch.append(eval_step(state, images, masks, valid))
+            fetched = jax.device_get(per_batch)
+            val_metrics = {
+                k: float(np.mean([d[k] for d in fetched])) for k in fetched[0]
+            }
 
         record = {
             "event": "epoch",

@@ -236,6 +236,46 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_args)
 
 
+def make_epoch_train_step(model: UNet, donate: bool = True, **step_kw) -> Callable:
+    """Whole-epoch train step over a DEVICE-RESIDENT dataset.
+
+    The reference feeds each batch from the host through a torch DataLoader
+    (reference: scripts/train.py:88-104); over this chip's remote tunnel that
+    costs ~12 MB and several dispatch round-trips per step — measured 0.5-0.6
+    steps/s wall against a ~20 steps/s device program. TPU-first shape: put
+    the whole dataset in HBM once (~480 MB for 152 frames, see
+    data/dataset.py) and lax.scan the per-step program over an epoch's worth
+    of batch indices, so an entire epoch is ONE dispatch and the only
+    per-epoch upload is the (S, B) int32 index matrix.
+
+    epoch_step(state, images_all (N,H,W) f32, masks_all (N,H,W) i32,
+               wmaps_all (N,H,W) f32, idx (S,B) i32, valid (S,B) bool,
+               key, step0 i32) -> (state, {"loss": (S,), "grad_norm": (S,)})
+
+    Per-step randomness is fold_in(key, global_step) — deterministic in
+    (seed, epoch) and stable across resume at epoch granularity (the legacy
+    host-fed loop advanced one global split chain instead, so fixed-seed
+    runs differ bit-wise between the two feed modes)."""
+    inner = make_train_step(model, donate=False, jit=False, **step_kw)
+
+    def epoch_step(state, images_all, masks_all, wmaps_all, idx, valid,
+                   key, step0):
+        def body(st, xs):
+            ib, vb, i = xs
+            step_key = jax.random.fold_in(key, i)
+            imgs = jnp.take(images_all, ib, axis=0)
+            msks = jnp.take(masks_all, ib, axis=0)
+            wms = jnp.take(wmaps_all, ib, axis=0)
+            st, metrics = inner(st, imgs, msks, wms, vb, step_key)
+            return st, metrics
+
+        steps = jnp.arange(idx.shape[0], dtype=jnp.int32) + step0
+        state, ms = jax.lax.scan(body, state, (idx, valid, steps))
+        return state, ms
+
+    return jax.jit(epoch_step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(
     model: UNet, three_class: bool = False, standardize: bool = False
 ) -> Callable:
