@@ -193,6 +193,15 @@ def train(
         logger.log({"event": "device_data", "bytes": int(
             data.images.nbytes + data.masks.nbytes + data.weight_maps.nbytes
         )})
+        from unetseg_tpu.train.steps import make_epoch_eval_step
+
+        epoch_eval = make_epoch_eval_step(
+            model, three_class=three_class, standardize=d_cfg.standardize
+        )
+        # the val schedule never changes: build its index matrix once
+        val_mat, val_valid = epoch_index_matrix(
+            val_idx, t_cfg.batch_size, shuffle=False, seed=0
+        )
     eval_step = make_eval_step(
         model, three_class=three_class, standardize=d_cfg.standardize
     )
@@ -301,17 +310,26 @@ def train(
         # -------------------------------------------------------------- val
         val_metrics: Dict[str, float] = {}
         if len(val_idx) > 0:
-            # metrics stay on device until one stacked fetch at the end
-            per_batch = []
-            for batch in iter_batches(
-                data, val_idx, t_cfg.batch_size, shuffle=False, seed=0
-            ):
-                images, masks, _, valid = _put_batch(batch, mesh)
-                per_batch.append(eval_step(state, images, masks, valid))
-            fetched = jax.device_get(per_batch)
-            val_metrics = {
-                k: float(np.mean([d[k] for d in fetched])) for k in fetched[0]
-            }
+            if use_scan:
+                # one scanned device program + one stacked fetch
+                ms_val = jax.device_get(
+                    epoch_eval(state, dev_images, dev_masks, val_mat, val_valid)
+                )
+                val_metrics = {
+                    k: float(np.mean(v)) for k, v in ms_val.items()
+                }
+            else:
+                # metrics stay on device until one stacked fetch at the end
+                per_batch = []
+                for batch in iter_batches(
+                    data, val_idx, t_cfg.batch_size, shuffle=False, seed=0
+                ):
+                    images, masks, _, valid = _put_batch(batch, mesh)
+                    per_batch.append(eval_step(state, images, masks, valid))
+                fetched = jax.device_get(per_batch)
+                val_metrics = {
+                    k: float(np.mean([d[k] for d in fetched])) for k in fetched[0]
+                }
 
         record = {
             "event": "epoch",

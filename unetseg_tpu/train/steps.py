@@ -276,8 +276,32 @@ def make_epoch_train_step(model: UNet, donate: bool = True, **step_kw) -> Callab
     return jax.jit(epoch_step, donate_argnums=(0,) if donate else ())
 
 
+def make_epoch_eval_step(model: UNet, **eval_kw) -> Callable:
+    """Whole-validation eval scan over the device-resident dataset
+    (companion of make_epoch_train_step; same gather-by-index protocol).
+
+    epoch_eval(state, images_all, masks_all, idx (S,B) i32,
+               valid (S,B) bool) -> {"val_loss": (S,), ...}"""
+    inner = make_eval_step(model, jit=False, **eval_kw)
+
+    def epoch_eval(state, images_all, masks_all, idx, valid):
+        def body(_, xs):
+            ib, vb = xs
+            m = inner(
+                state, jnp.take(images_all, ib, axis=0),
+                jnp.take(masks_all, ib, axis=0), vb,
+            )
+            return None, m
+
+        _, ms = jax.lax.scan(body, None, (idx, valid))
+        return ms
+
+    return jax.jit(epoch_eval)
+
+
 def make_eval_step(
-    model: UNet, three_class: bool = False, standardize: bool = False
+    model: UNet, three_class: bool = False, standardize: bool = False,
+    jit: bool = True,
 ) -> Callable:
     """Validation step: *unweighted* CE on cropped targets, eval-mode BN
     (reference: scripts/train.py:141-163). val_iou is always the binary
@@ -311,7 +335,7 @@ def make_eval_step(
         iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
         return {"val_loss": loss, "val_acc": acc, "val_iou": iou}
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
 
 
 def optax_global_norm(tree) -> jnp.ndarray:
