@@ -142,6 +142,38 @@ def test_best_inside_cooldown_is_flushed(tiny_tree, tmp_path):
     assert extra["config"]["train"]["checkpoint_min_interval"] == 3
 
 
+def test_full_stream_keeps_latest_not_best(tmp_path):
+    """The resume stream's retention must be by recency: keyed on val loss
+    it silently dropped newer resume points whenever validation worsened
+    (found driving the CLI — full/ held epoch 0 after a final-epoch save)."""
+    state = create_train_state(
+        jax.random.key(0), model_cfg=TINY_MODEL, input_size=SIZE
+    )
+    ck = ckpt.Checkpointer(str(tmp_path / "c"), keep=2, sync=True)
+    ck.save_full(state, 0, val_loss=0.1)
+    ck.save_full(state, 1, val_loss=0.9)  # worse val — still the newest
+    ck.close()
+    assert ckpt.latest_epoch(str(tmp_path / "c")) == 1
+
+
+def test_async_checkpointer_matches_sync(tmp_path):
+    """Async (background-writer) saves persist the same artifacts."""
+    state = create_train_state(
+        jax.random.key(0), model_cfg=TINY_MODEL, input_size=SIZE
+    )
+    ck = ckpt.Checkpointer(str(tmp_path / "a"), keep=2, sync=False)
+    ck.save(state, 0, val_loss=0.5)
+    ck.save_full(state, 0, val_loss=0.5)
+    ck.close()  # drains the queue
+    assert ckpt.best_epoch(str(tmp_path / "a")) == 0
+    assert ckpt.latest_epoch(str(tmp_path / "a")) == 0
+    restored, _, _ = ckpt.restore_light(
+        str(tmp_path / "a"), state.params, state.batch_stats, epoch=0
+    )
+    first = jax.tree.leaves(restored)[0]
+    assert first.dtype == np.float32 or first.dtype == jax.numpy.bfloat16
+
+
 def test_lanes_active_resolution():
     """TrainConfig.lanes gating: auto is off on CPU, on forces (with a clear
     error for unsupported geometry), off disables."""

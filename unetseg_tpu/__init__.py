@@ -25,6 +25,27 @@ axes ('data', 'tile', 'model').
 
 __version__ = "0.1.0"
 
+# numpy madvises MADV_HUGEPAGE on large buffers; with the host kernel in
+# THP defrag=madvise mode every first-touch write fault then does
+# synchronous hugepage compaction — measured 5 MB/s (np.stack of 84 512^2
+# frames: 16.8 s vs 0.06 s with this off, a ~300x difference that made
+# dataset loading dominate training startup). The env knob
+# (NUMPY_MADVISE_HUGEPAGE=0) only works before numpy's first import, and
+# this environment pre-imports numpy from sitecustomize, so flip the
+# policy through numpy's runtime switch as well.
+import os as _os
+
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+try:  # numpy >= 2
+    from numpy._core import _multiarray_umath as _mu
+except ImportError:  # pragma: no cover - numpy 1.x
+    try:
+        from numpy.core import _multiarray_umath as _mu
+    except ImportError:  # pragma: no cover
+        _mu = None
+if _mu is not None and hasattr(_mu, "_set_madvise_hugepage"):
+    _mu._set_madvise_hugepage(False)
+
 from unetseg_tpu.core.config import (  # noqa: F401
     Config,
     DataConfig,

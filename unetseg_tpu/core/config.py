@@ -79,6 +79,12 @@ class TrainConfig:
     # train state is expensive on slow links; the final epoch always saves
     # if it improved)
     checkpoint_min_interval: int = 1
+    # Checkpoint saves drain on a background writer thread from
+    # donation-safe device copies (train/checkpoint.Checkpointer): the
+    # 30-47 s synchronous fetch of the full state through the remote
+    # tunnel leaves the training critical path. False restores inline
+    # synchronous writes.
+    async_save: bool = True
     # epochs between full (resumable fp32+optimizer) saves; best-val saves
     # in between write only the ~6x-smaller bf16 inference shadow. The last
     # epoch always writes a full save.

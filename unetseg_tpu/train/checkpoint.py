@@ -20,6 +20,8 @@ remain restorable by both paths.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -32,10 +34,14 @@ from unetseg_tpu.train.state import TrainState
 FULL_SUBDIR = "full"
 
 
-def _manager(directory: str, keep: int) -> ocp.CheckpointManager:
+def _manager(directory: str, keep: int, best: bool = True) -> ocp.CheckpointManager:
+    """best=True keeps the k lowest-val_loss checkpoints (the light
+    inference stream); best=False keeps the k LATEST (the full resume
+    stream — retention keyed on val loss there silently dropped newer
+    resume points whenever validation worsened)."""
     options = ocp.CheckpointManagerOptions(
         max_to_keep=keep,
-        best_fn=lambda m: m["val_loss"],
+        best_fn=(lambda m: m["val_loss"]) if best else None,
         best_mode="min",
         create=True,
     )
@@ -65,6 +71,53 @@ def _host_payload(tree):
     return jax.device_get(tree)
 
 
+@jax.jit
+def _copy_tree(tree):
+    return jax.tree.map(jnp.copy, tree)
+
+
+@jax.jit
+def _copy_tree_bf16(tree):
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating)
+        else jnp.copy(a),
+        tree,
+    )
+
+
+def _device_copy(tree, float_dtype=None):
+    """Fresh device buffers for every leaf (optionally casting floats to
+    bf16) in ONE jitted dispatch.
+
+    The copies are what makes a payload safe to hold across later DONATED
+    train steps: they are new arrays the optimizer never sees, so donation
+    can never delete them."""
+    if float_dtype is not None:
+        assert float_dtype == jnp.bfloat16
+        return _copy_tree_bf16(tree)
+    return _copy_tree(tree)
+
+
+def device_light_payload(state: TrainState) -> Dict[str, Any]:
+    """Donation-safe DEVICE light payload (bf16 params shadow + BN stats):
+    cheap to build (on-device cast/copy), fetched to host later by the
+    Checkpointer's background writer."""
+    return {
+        "params": _device_copy(state.params, float_dtype=jnp.bfloat16),
+        "batch_stats": _device_copy(state.batch_stats),
+    }
+
+
+def device_full_payload(state: TrainState) -> Dict[str, Any]:
+    return {
+        "params": _device_copy(state.params),
+        "batch_stats": _device_copy(state.batch_stats),
+        "opt_state": _device_copy(state.opt_state),
+        "step": np.asarray(state.step),
+    }
+
+
 def light_payload(state: TrainState) -> Dict[str, Any]:
     """Host-materialized light payload (bf16 params shadow + BN stats).
 
@@ -90,15 +143,62 @@ def _full_payload(state: TrainState) -> Dict[str, Any]:
 class Checkpointer:
     """Long-lived manager for asynchronous two-stream checkpointing.
 
-    Orbax saves run in the background; the train loop keeps stepping while
-    the previous checkpoint drains (device-to-host transfer of the full
-    372 MB train state costs ~15 s through the remote-TPU tunnel — the light
-    stream cuts the common-case transfer ~6x)."""
+    Saves are enqueued as donation-safe DEVICE copies (device_*_payload)
+    and drained by one background writer thread that does the
+    device->host fetch and the Orbax write — the train loop keeps stepping
+    while the transfer rides the tunnel (a full 372 MB train state costs
+    30-47 s fetched synchronously; overlapped it costs ~nothing on the
+    critical path). Orbax itself never touches device arrays (its own
+    deferred D2H deadlocked against donated buffers through the remote
+    tunnel — see _host_payload). `sync=True` restores inline writes."""
 
-    def __init__(self, directory: str, keep: int = 3):
+    def __init__(self, directory: str, keep: int = 3, sync: bool = False):
         self._mgr = _manager(directory, keep)
-        self._full = _manager(os.path.join(directory, FULL_SUBDIR), keep=1)
+        self._full = _manager(
+            os.path.join(directory, FULL_SUBDIR), keep=1, best=False
+        )
+        self._sync = sync
+        self._error: Optional[BaseException] = None
+        if not sync:
+            self._q: queue.Queue = queue.Queue()
+            self._worker = threading.Thread(
+                target=self._drain, name="ckpt-writer", daemon=True
+            )
+            self._worker.start()
 
+    # ------------------------------------------------------------- writer
+    def _write(self, stream: str, payload, epoch, val_loss, extra) -> None:
+        payload = jax.device_get(payload)
+        mgr = self._mgr if stream == "light" else self._full
+        mgr.save(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(payload),
+                extra=ocp.args.JsonSave(extra or {}),
+            ),
+            metrics={"val_loss": float(val_loss)},
+        )
+
+    def _drain(self) -> None:
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            try:
+                self._write(*job)
+            except BaseException as e:  # surfaced on the next enqueue/close
+                self._error = e
+
+    def _submit(self, stream, payload, epoch, val_loss, extra) -> None:
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("background checkpoint save failed") from err
+        if self._sync:
+            self._write(stream, payload, epoch, val_loss, extra)
+        else:
+            self._q.put((stream, payload, epoch, val_loss, extra))
+
+    # -------------------------------------------------------------- saves
     def save(
         self,
         state: TrainState,
@@ -107,7 +207,7 @@ class Checkpointer:
         extra: Optional[Dict[str, Any]] = None,
     ) -> None:
         """Light best-k save (bf16 params + BN stats): the inference artifact."""
-        self.save_light_payload(light_payload(state), epoch, val_loss, extra)
+        self.save_light_payload(device_light_payload(state), epoch, val_loss, extra)
 
     def save_light_payload(
         self,
@@ -116,16 +216,10 @@ class Checkpointer:
         val_loss: float,
         extra: Optional[Dict[str, Any]] = None,
     ) -> None:
-        """Save an already host-materialized light_payload() (the
-        donation-safe form for deferred saves)."""
-        self._mgr.save(
-            epoch,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardSave(payload),
-                extra=ocp.args.JsonSave(extra or {}),
-            ),
-            metrics={"val_loss": float(val_loss)},
-        )
+        """Save a light payload — either device_light_payload (device
+        copies, fetched by the writer thread) or a host-materialized
+        light_payload (passes straight through)."""
+        self._submit("light", payload, epoch, val_loss, extra)
 
     def save_full(
         self,
@@ -135,16 +229,15 @@ class Checkpointer:
         extra: Optional[Dict[str, Any]] = None,
     ) -> None:
         """Full train-state save (latest only): the resume artifact."""
-        self._full.save(
-            epoch,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardSave(_full_payload(state)),
-                extra=ocp.args.JsonSave(extra or {}),
-            ),
-            metrics={"val_loss": float(val_loss)},
-        )
+        self._submit("full", device_full_payload(state), epoch, val_loss, extra)
 
     def close(self) -> None:
+        if not self._sync:
+            self._q.put(None)
+            self._worker.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("background checkpoint save failed") from err
         self._mgr.wait_until_finished()
         self._mgr.close()
         self._full.wait_until_finished()
@@ -160,7 +253,7 @@ def save_checkpoint(
     extra: Optional[Dict[str, Any]] = None,
 ) -> None:
     """One-shot synchronous save of both streams (tests / scripts)."""
-    ck = Checkpointer(directory, keep)
+    ck = Checkpointer(directory, keep, sync=True)
     ck.save(state, epoch, val_loss, extra)
     ck.save_full(state, epoch, val_loss, extra)
     ck.close()

@@ -217,7 +217,10 @@ def train(
     global_step = 0
     done = False
     checkpointer = (
-        ckpt.Checkpointer(t_cfg.checkpoint_dir, keep=t_cfg.keep_best_k)
+        ckpt.Checkpointer(
+            t_cfg.checkpoint_dir, keep=t_cfg.keep_best_k,
+            sync=not t_cfg.async_save,
+        )
         if t_cfg.save_checkpoint
         else None
     )
@@ -348,10 +351,12 @@ def train(
             best_epoch = epoch
             # Hold the best state until the save cooldown allows a write, so
             # a best inside the cooldown window is never silently dropped.
-            # Materialized to host NOW: the next step donates (deletes) this
-            # state's device buffers (see checkpoint.light_payload).
+            # Device COPIES taken NOW: the next step donates (deletes) this
+            # state's own buffers (see checkpoint.device_light_payload).
             pending_best = (
-                ckpt.light_payload(state) if t_cfg.save_checkpoint else None,
+                ckpt.device_light_payload(state)
+                if t_cfg.save_checkpoint
+                else None,
                 epoch,
                 val_loss,
             )
