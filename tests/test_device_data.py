@@ -38,6 +38,35 @@ def test_epoch_index_matrix_matches_iter_batches():
         )
 
 
+def test_scan_feed_under_mesh_matches_single_device(tiny_tree, tmp_path):  # noqa: F811
+    """The GSPMD mesh scan feed (replicated dataset + data-axis sharding
+    constraints on gathered batches) trains identically to the
+    single-device scan (augment off => no RNG in the step; the lanes
+    shard_map path is mesh-gated off here via lanes='off')."""
+    import jax
+
+    from unetseg_tpu.core.config import MeshConfig, TrainConfig
+    from unetseg_tpu.core.mesh import make_mesh
+
+    assert jax.device_count() == 8
+    results = {}
+    for mesh in (
+        None,
+        make_mesh(MeshConfig(data_parallel=2), devices=jax.devices()[:2]),
+    ):
+        cfg = _cfg(
+            tiny_tree, tmp_path / f"mesh{mesh is not None}",
+            epochs=2, augment=False,
+        )
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, lanes="off")
+        )
+        results[mesh is not None] = train(cfg, mesh=mesh)
+    for a, b in zip(results[True].history, results[False].history):
+        assert a["train_loss"] == pytest.approx(b["train_loss"], rel=1e-5)
+        assert a["val_loss"] == pytest.approx(b["val_loss"], rel=1e-5)
+
+
 def test_scan_feed_matches_host_feed(tiny_tree, tmp_path):  # noqa: F811
     results = {}
     for mode in (True, False):

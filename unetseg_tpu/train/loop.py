@@ -159,12 +159,13 @@ def train(
             lanes=lanes,
         )
     # Device-resident feed: scan the step over the epoch (ONE dispatch per
-    # epoch; see TrainConfig.device_data). The host-fed path remains for
-    # meshes (the dataset would need replication + sharding constraints),
-    # per-step profiling, and max_steps debugging.
+    # epoch; see TrainConfig.device_data). Under a GSPMD mesh the dataset
+    # lives replicated and the gathered batches carry data-axis sharding
+    # constraints. The host-fed path remains for the shard_map lanes+mesh
+    # step, per-step profiling, and max_steps debugging.
     use_scan = (
         t_cfg.device_data
-        and mesh is None
+        and (mesh is None or not lanes)
         and t_cfg.profile_dir is None
         and max_steps is None
     )
@@ -173,6 +174,7 @@ def train(
 
         epoch_step = make_epoch_train_step(
             model,
+            mesh=mesh,
             augment=d_cfg.augment,
             elastic_alpha=d_cfg.elastic_alpha,
             elastic_sigma=d_cfg.elastic_sigma,
@@ -186,9 +188,10 @@ def train(
             remat=None if lanes else t_cfg.remat,
             lanes=lanes,
         )
-        dev_images = jax.device_put(data.images)
-        dev_masks = jax.device_put(data.masks)
-        dev_wmaps = jax.device_put(data.weight_maps)
+        repl = mesh.replicated() if mesh is not None else None
+        dev_images = jax.device_put(data.images, repl)
+        dev_masks = jax.device_put(data.masks, repl)
+        dev_wmaps = jax.device_put(data.weight_maps, repl)
         data_rng = jax.random.key(t_cfg.seed + 1)
         logger.log({"event": "device_data", "bytes": int(
             data.images.nbytes + data.masks.nbytes + data.weight_maps.nbytes
@@ -196,7 +199,8 @@ def train(
         from unetseg_tpu.train.steps import make_epoch_eval_step
 
         epoch_eval = make_epoch_eval_step(
-            model, three_class=three_class, standardize=d_cfg.standardize
+            model, mesh=mesh,
+            three_class=three_class, standardize=d_cfg.standardize,
         )
         # the val schedule never changes: build its index matrix once
         val_mat, val_valid = epoch_index_matrix(

@@ -236,7 +236,9 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_args)
 
 
-def make_epoch_train_step(model: UNet, donate: bool = True, **step_kw) -> Callable:
+def make_epoch_train_step(
+    model: UNet, donate: bool = True, mesh=None, **step_kw
+) -> Callable:
     """Whole-epoch train step over a DEVICE-RESIDENT dataset.
 
     The reference feeds each batch from the host through a torch DataLoader
@@ -255,7 +257,12 @@ def make_epoch_train_step(model: UNet, donate: bool = True, **step_kw) -> Callab
     Per-step randomness is fold_in(key, global_step) — deterministic in
     (seed, epoch) and stable across resume at epoch granularity (the legacy
     host-fed loop advanced one global split chain instead, so fixed-seed
-    runs differ bit-wise between the two feed modes)."""
+    runs differ bit-wise between the two feed modes).
+
+    mesh (a core.mesh.MeshSpec) turns on GSPMD data parallelism: the
+    dataset lives replicated, each gathered batch is sharding-constrained
+    over the data axis, and XLA partitions the step (same program the
+    host-fed mesh path compiles, minus the per-step host transfer)."""
     inner = make_train_step(model, donate=False, jit=False, **step_kw)
 
     def epoch_step(state, images_all, masks_all, wmaps_all, idx, valid,
@@ -266,6 +273,12 @@ def make_epoch_train_step(model: UNet, donate: bool = True, **step_kw) -> Callab
             imgs = jnp.take(images_all, ib, axis=0)
             msks = jnp.take(masks_all, ib, axis=0)
             wms = jnp.take(wmaps_all, ib, axis=0)
+            if mesh is not None:
+                bs = mesh.batch_sharding()
+                imgs = jax.lax.with_sharding_constraint(imgs, bs)
+                msks = jax.lax.with_sharding_constraint(msks, bs)
+                wms = jax.lax.with_sharding_constraint(wms, bs)
+                vb = jax.lax.with_sharding_constraint(vb, bs)
             st, metrics = inner(st, imgs, msks, wms, vb, step_key)
             return st, metrics
 
@@ -276,9 +289,10 @@ def make_epoch_train_step(model: UNet, donate: bool = True, **step_kw) -> Callab
     return jax.jit(epoch_step, donate_argnums=(0,) if donate else ())
 
 
-def make_epoch_eval_step(model: UNet, **eval_kw) -> Callable:
+def make_epoch_eval_step(model: UNet, mesh=None, **eval_kw) -> Callable:
     """Whole-validation eval scan over the device-resident dataset
-    (companion of make_epoch_train_step; same gather-by-index protocol).
+    (companion of make_epoch_train_step; same gather-by-index protocol
+    and mesh semantics).
 
     epoch_eval(state, images_all, masks_all, idx (S,B) i32,
                valid (S,B) bool) -> {"val_loss": (S,), ...}"""
@@ -287,10 +301,14 @@ def make_epoch_eval_step(model: UNet, **eval_kw) -> Callable:
     def epoch_eval(state, images_all, masks_all, idx, valid):
         def body(_, xs):
             ib, vb = xs
-            m = inner(
-                state, jnp.take(images_all, ib, axis=0),
-                jnp.take(masks_all, ib, axis=0), vb,
-            )
+            imgs = jnp.take(images_all, ib, axis=0)
+            msks = jnp.take(masks_all, ib, axis=0)
+            if mesh is not None:
+                bs = mesh.batch_sharding()
+                imgs = jax.lax.with_sharding_constraint(imgs, bs)
+                msks = jax.lax.with_sharding_constraint(msks, bs)
+                vb = jax.lax.with_sharding_constraint(vb, bs)
+            m = inner(state, imgs, msks, vb)
             return None, m
 
         _, ms = jax.lax.scan(body, None, (idx, valid))
