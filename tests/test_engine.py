@@ -57,6 +57,19 @@ def test_probs_tiled_deterministic(predictor):
     np.testing.assert_array_equal(a, b)
 
 
+def test_masks_tiled_matches_per_frame(predictor):
+    """The frame-batched device-threshold path == per-frame probs_tiled +
+    host threshold, bit for bit."""
+    imgs = np.random.RandomState(4).rand(3, 50, 70).astype(np.float32)
+    batched = predictor.masks_tiled(imgs)
+    assert batched.shape == (3, 50, 70) and batched.dtype == np.uint8
+    for k in range(3):
+        ref = (
+            predictor.probs_tiled(imgs[k]) > predictor.cfg.threshold
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(batched[k], ref)
+
+
 def test_predict_sequence_outputs(predictor, tmp_path):
     seq = tmp_path / "01"
     seq.mkdir()

@@ -179,6 +179,60 @@ def make_tiled_fn(
     return jax.jit(lambda image: run_tiles(tile_fn, image))
 
 
+def make_tiled_mask_batch_fn(
+    tile_fn: Callable,
+    grid: TileGrid,
+    n_frames: int,
+    threshold: float,
+    tile_batch: Optional[int] = None,
+    mesh: Optional[MeshSpec] = None,
+) -> Callable:
+    """Frame-BATCHED tiled binary segmentation as one jit program:
+    fn(ctx, images (F, H, W) f32) -> (F, H, W) uint8.
+
+    All frames' tiles are pooled into shared fixed-size forward chunks (at
+    the 512^2 single-tile geometry a frame is ONE tile, so 8 frames fill an
+    8-tile chunk that used to run 8 separate dispatches), the stitch runs
+    per frame, and thresholding happens on device so only uint8 masks cross
+    the device->host link (8x smaller than f32 probabilities — the remote
+    tunnel makes sequence prediction fetch-bound). `tile_fn(ctx, chunk)`
+    must return (B, o, o) foreground probabilities (the binary head) —
+    the 3-class path keeps per-frame probs_tiled."""
+    n = grid.num_tiles
+    total = n_frames * n
+    batch = tile_batch or total
+    if mesh is not None:
+        batch = pad_tile_count(batch, mesh.num_data * mesh.num_tile)
+    n_padded = pad_tile_count(total, batch)
+
+    def run(ctx, images: jnp.ndarray) -> jnp.ndarray:
+        padded = jax.vmap(lambda im: mirror_pad(im, grid))(images)
+        tiles = jax.vmap(lambda p: extract_tiles(p, grid))(padded)
+        tiles = tiles.reshape(total, *tiles.shape[2:])
+        if n_padded > total:
+            tiles = jnp.concatenate(
+                [tiles, jnp.repeat(tiles[:1], n_padded - total, axis=0)]
+            )
+        outs = []
+        for start in range(0, n_padded, batch):
+            chunk = tiles[start : start + batch]
+            if mesh is not None:
+                chunk = jax.lax.with_sharding_constraint(
+                    chunk, mesh.tile_sharding()
+                )
+            outs.append(tile_fn(ctx, chunk))
+        outputs = jnp.concatenate(outs, axis=0)[:total]
+        assert outputs.ndim == 3, (
+            "make_tiled_mask_batch_fn expects a binary (B, o, o) "
+            f"foreground-probability head, got {outputs.shape}"
+        )
+        outputs = outputs.reshape(n_frames, n, *outputs.shape[1:])
+        probs = jax.vmap(lambda o: stitch(o, grid))(outputs)
+        return (probs > threshold).astype(jnp.uint8)
+
+    return jax.jit(run)
+
+
 def tiled_apply(
     tile_fn: Callable[[jnp.ndarray], jnp.ndarray],
     image: jnp.ndarray,
