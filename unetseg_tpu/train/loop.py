@@ -248,7 +248,7 @@ def train(
             ekey = jax.random.fold_in(data_rng, epoch)
             state, ms = epoch_step(
                 state, dev_images, dev_masks, dev_wmaps, mat, vmat,
-                ekey, np.int32(global_step),
+                ekey,
             )
             # the one sync point of the epoch (a value fetch — the remote
             # tunnel does not honor block_until_ready)

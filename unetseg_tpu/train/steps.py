@@ -252,12 +252,14 @@ def make_epoch_train_step(
 
     epoch_step(state, images_all (N,H,W) f32, masks_all (N,H,W) i32,
                wmaps_all (N,H,W) f32, idx (S,B) i32, valid (S,B) bool,
-               key, step0 i32) -> (state, {"loss": (S,), "grad_norm": (S,)})
+               key) -> (state, {"loss": (S,), "grad_norm": (S,)})
 
-    Per-step randomness is fold_in(key, global_step) — deterministic in
-    (seed, epoch) and stable across resume at epoch granularity (the legacy
+    Per-step randomness is fold_in(key, step-within-epoch), with the epoch
+    already folded into `key` by the caller — deterministic in (seed,
+    epoch) and bit-stable across resume at epoch granularity (the legacy
     host-fed loop advanced one global split chain instead, so fixed-seed
-    runs differ bit-wise between the two feed modes).
+    runs differ bit-wise between the two feed modes and are NOT
+    resume-stable).
 
     mesh (a core.mesh.MeshSpec) turns on GSPMD data parallelism: the
     dataset lives replicated, each gathered batch is sharding-constrained
@@ -265,8 +267,7 @@ def make_epoch_train_step(
     host-fed mesh path compiles, minus the per-step host transfer)."""
     inner = make_train_step(model, donate=False, jit=False, **step_kw)
 
-    def epoch_step(state, images_all, masks_all, wmaps_all, idx, valid,
-                   key, step0):
+    def epoch_step(state, images_all, masks_all, wmaps_all, idx, valid, key):
         def body(st, xs):
             ib, vb, i = xs
             step_key = jax.random.fold_in(key, i)
@@ -282,7 +283,7 @@ def make_epoch_train_step(
             st, metrics = inner(st, imgs, msks, wms, vb, step_key)
             return st, metrics
 
-        steps = jnp.arange(idx.shape[0], dtype=jnp.int32) + step0
+        steps = jnp.arange(idx.shape[0], dtype=jnp.int32)
         state, ms = jax.lax.scan(body, state, (idx, valid, steps))
         return state, ms
 
