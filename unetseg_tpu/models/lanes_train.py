@@ -180,21 +180,21 @@ def _bn_relu_lanes_dense(z, p_bn, stats, h_valid, w_valid, item_mask,
     return y, new_stats
 
 
-def _pool_lanes_dense(x, h_valid):
-    """2x2 max pool of a dense lanes tensor, staying in lanes: rows halve
-    via strided slices, columns via a lane roll-max — EVEN lanes of the
-    result hold the pooled columns (odd lanes garbage)."""
+def _pool_dense_to_nhwc(x, b, h_valid, w_valid):
+    """2x2 max pool of a dense (H, C, B*stride) lanes tensor, handed off to
+    NHWC: rows halve via strided slices in lanes, the tensor transposes to
+    NHWC (the consumer is the NHWC middle anyway), and columns halve via a
+    reduce_window there. Replaces a lane roll-max whose transpose
+    (concat + add_any in the backward) cost ~1.5 ms/step and could not fuse
+    across the surrounding pallas_call boundaries."""
     hp = h_valid // 2
     a = jnp.maximum(x[0 : 2 * hp : 2], x[1 : 2 * hp : 2])
-    return jnp.maximum(a, jnp.roll(a, -1, axis=2))
-
-
-def _sparse_to_nhwc(x, b, w_valid):
-    """(H, C, B*stride) sparse even-lane tensor -> (B, H, w_valid, C)."""
-    h, c, bl = x.shape
+    h, c, bl = a.shape
     stride = bl // b
-    xs = x.reshape(h, c, b, stride)[:, :, :, : 2 * w_valid : 2]
-    return xs.transpose(2, 0, 3, 1)
+    nhwc = a.reshape(h, c, b, stride)[:, :, :, :w_valid].transpose(2, 0, 3, 1)
+    return jax.lax.reduce_window(
+        nhwc, -jnp.inf, jax.lax.max, (1, 1, 2, 1), (1, 1, 2, 1), "VALID"
+    )
 
 
 # ------------------------------------------------------------------ tconv
@@ -394,9 +394,7 @@ def train_forward_lanes(
             wp0 - 4, wp0 - 4, item_mask, st0, mom, eps, axis_name=axis_name,
         )
         new_stats["enc1"] = {"bn0": bn10, "bn1": bn11}
-        wp1 = (wp0 - 4) // 2
-        pooled1 = _pool_lanes_dense(skip1_l, wp0 - 4)
-        xm = _sparse_to_nhwc(pooled1, b, wp1)
+        xm = _pool_dense_to_nhwc(skip1_l, b, wp0 - 4, wp0 - 4)
         start_lvl = 2
     else:
         xm = from_lanes(pooled[:wp0], b, wp0)
