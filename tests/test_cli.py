@@ -110,6 +110,58 @@ def test_visualize_cli(tree, tmp_path):
 
 
 @pytest.mark.slow
+def test_pipeline_command(tree, tmp_path, capsys):
+    """`pipeline` = the whole workflow in one command, incl. CTC scoring
+    against staged GT dirs."""
+    from unetseg_tpu.core.config import (
+        Config,
+        DataConfig,
+        InferConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+
+    cfg_file = str(tmp_path / "cfg.json")
+    cfg = Config(
+        model=ModelConfig(compute_dtype="float32", base_features=4),
+        data=DataConfig(image_size=SIZE, augment=False, val_percent=0.3),
+        train=TrainConfig(num_epochs=1, batch_size=2),
+        # keep everything at the tiny geometry AND resize predictions back
+        # to GT resolution so the CTC measures can score them
+        infer=InferConfig(image_size=SIZE, min_cell_size=1),
+    )
+    with open(cfg_file, "w") as f:
+        f.write(cfg.to_json())
+    # stage GT dirs (reuse the silver masks; man_track = per-frame masks +
+    # a minimal man_track.txt so TRA runs)
+    (tree / "01_GT" / "SEG").mkdir(parents=True)
+    (tree / "01_GT" / "TRA").mkdir(parents=True)
+    for i in range(4):
+        os.link(
+            str(tree / "01_ST" / "SEG" / f"man_seg{i:03d}.tif"),
+            str(tree / "01_GT" / "SEG" / f"man_seg{i:03d}.tif"),
+        )
+        os.link(
+            str(tree / "01_ST" / "SEG" / f"man_seg{i:03d}.tif"),
+            str(tree / "01_GT" / "TRA" / f"man_track{i:03d}.tif"),
+        )
+    with open(tree / "01_GT" / "TRA" / "man_track.txt", "w") as f:
+        f.write("1 0 3 0\n2 0 3 0\n")
+    out = str(tmp_path / "pipe")
+    capsys.readouterr()
+    assert main([
+        "pipeline", "--config", cfg_file, "--data-root", str(tree),
+        "--sequences", "01", "--output-dir", out, "--no-tiled",
+        "--resize-output", str(SIZE),
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    row = summary["pipeline"]["01"]
+    assert "SEG" in row and 0.0 <= row["SEG"] <= 1.0
+    assert "TRA" in row and 0.0 <= row["TRA"] <= 1.0
+    assert os.path.exists(os.path.join(out, "01_CTC", "res_track.txt"))
+
+
+@pytest.mark.slow
 def test_full_workflow_train_predict_track(tree, tmp_path, capsys):
     """The reference README's 8-step workflow end-to-end on a tiny net."""
     ckpt = str(tmp_path / "ckpts")

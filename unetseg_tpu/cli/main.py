@@ -537,6 +537,75 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, os.path.join(root, "bench.py")])
 
 
+# ---------------------------------------------------------------- pipeline
+def cmd_pipeline(args) -> int:
+    """The reference README's whole 8-step workflow as ONE command:
+    preprocess -> train -> predict -> track -> evaluate-ctc per sequence
+    (reference: README.md:183-290 documents the steps as separate manual
+    scripts). All knobs come from --config; per-sequence CTC scores print
+    as one summary JSON at the end."""
+    seqs = args.sequences or ["01"]
+    data_root = args.data_root
+    out_dir = args.output_dir
+    ckpt_dir = args.checkpoint_dir or os.path.join(out_dir, "checkpoints")
+    os.makedirs(out_dir, exist_ok=True)
+    cfg_flags = ["--config", args.config] if args.config else []
+
+    if not args.skip_preprocess:
+        for seq in seqs:
+            rc = main(
+                ["preprocess", *cfg_flags, "--data-root", data_root,
+                 "--sequence", seq]
+            )
+            if rc:
+                return rc
+    if not args.skip_train:
+        rc = main(
+            ["train", *cfg_flags, "--data-root", data_root,
+             "--sequences", *seqs, "--checkpoint-dir", ckpt_dir,
+             "--metrics-jsonl", os.path.join(out_dir, "metrics.jsonl")]
+        )
+        if rc:
+            return rc
+
+    summary = {}
+    for seq in seqs:
+        pred_flags = ["--tiled"] if args.tiled else []
+        if args.resize_output:
+            pred_flags += ["--resize-output", str(args.resize_output)]
+        rc = main(
+            ["predict", *cfg_flags, "--data-root", data_root,
+             "--sequence", seq, "--checkpoint-dir", ckpt_dir,
+             "--output-dir", out_dir, *pred_flags]
+        )
+        if rc:
+            return rc
+        inst_dir = os.path.join(out_dir, f"{seq}_RES_INST")
+        ctc_dir = os.path.join(out_dir, f"{seq}_CTC")
+        rc = main(
+            ["track", "--instance-dir", inst_dir, "--ctc-dir", ctc_dir,
+             "--output", os.path.join(out_dir, f"{seq}_res_track.txt")]
+        )
+        if rc:
+            return rc
+
+        from unetseg_tpu.metrics import ctc
+
+        row = {}
+        seg_gt = os.path.join(data_root, f"{seq}_GT", "SEG")
+        tra_gt = os.path.join(data_root, f"{seq}_GT", "TRA")
+        if os.path.isdir(seg_gt):
+            row["SEG"] = ctc.seg_measure(seg_gt, ctc_dir).value
+        if os.path.isdir(tra_gt):
+            r = ctc.tra_measure(tra_gt, ctc_dir)
+            row["TRA"], row["DET"] = r.tra, r.det
+        if not row:
+            row["note"] = f"no {seq}_GT dirs under {data_root}; skipped scoring"
+        summary[seq] = row
+    print(json.dumps({"pipeline": summary}))
+    return 0
+
+
 # -------------------------------------------------------------------- parser
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -765,6 +834,28 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("bench", help="run the performance benchmark")
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser(
+        "pipeline",
+        help="preprocess -> train -> predict -> track -> evaluate-ctc "
+             "in one command",
+    )
+    sp.add_argument("--config")
+    sp.add_argument("--data-root", required=True)
+    sp.add_argument("--sequences", nargs="+", default=["01"])
+    sp.add_argument("--output-dir", required=True)
+    sp.add_argument("--checkpoint-dir",
+                    help="default <output-dir>/checkpoints")
+    sp.add_argument("--tiled", action="store_true", default=True)
+    sp.add_argument("--no-tiled", dest="tiled", action="store_false")
+    sp.add_argument("--resize-output", dest="resize_output", type=int,
+                    default=None,
+                    help="nearest-resize predictions (non-tiled path) so "
+                         "CTC scoring sees GT resolution")
+    sp.add_argument("--skip-preprocess", action="store_true")
+    sp.add_argument("--skip-train", action="store_true",
+                    help="reuse an existing --checkpoint-dir")
+    sp.set_defaults(fn=cmd_pipeline)
 
     return p
 
