@@ -70,6 +70,21 @@ def test_masks_tiled_matches_per_frame(predictor):
         np.testing.assert_array_equal(batched[k], ref)
 
 
+def test_masks_tiled_tta_flips(predictor):
+    """TTA 'flips' runs and is itself flip-consistent: predicting a flipped
+    batch returns the flipped prediction (the transform set is closed
+    under flips)."""
+    import dataclasses
+
+    pred = dataclasses.replace(predictor, cfg=dataclasses.replace(
+        predictor.cfg, tta="flips"
+    ))
+    imgs = np.random.RandomState(5).rand(2, 40, 40).astype(np.float32)
+    m = pred.masks_tiled(imgs)
+    m_flipped = pred.masks_tiled(imgs[:, ::-1].copy())
+    np.testing.assert_array_equal(m[:, ::-1], m_flipped)
+
+
 def test_predict_sequence_outputs(predictor, tmp_path):
     seq = tmp_path / "01"
     seq.mkdir()

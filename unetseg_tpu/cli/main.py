@@ -171,7 +171,8 @@ def _infer_overrides(args) -> dict:
     all-background tiled predictions); numeric flags default to None and
     boolean flags use store_const(True), so absent flags stay absent."""
     out = {}
-    for name in ("threshold", "min_cell_size", "normalize", "standardize"):
+    for name in ("threshold", "min_cell_size", "normalize", "standardize",
+                 "tta"):
         v = getattr(args, name, None)
         if v is not None:
             out[name] = v
@@ -706,6 +707,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--marker-frac", dest="marker_frac", type=float, default=0.5,
                     help="watershed marker threshold as a fraction of each "
                          "component's distance maximum")
+    sp.add_argument("--tta", choices=["none", "flips"], default=None,
+                    help="test-time augmentation for tiled binary "
+                         "prediction: average probabilities over flips "
+                         "(4x device compute)")
     sp.add_argument("--resize-output", dest="resize_output", type=int, default=None,
                     help="nearest-resize outputs (e.g. 512 to match GT size)")
     sp.add_argument("--device-cc", dest="device_cc", action="store_true",

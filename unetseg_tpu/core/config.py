@@ -154,6 +154,11 @@ class InferConfig:
     # re-seeded sub-instance below this fraction of its seeding previous
     # instance's area and re-flood with the surviving seeds. 0 disables.
     temporal_area_guard: float = 0.3
+    # test-time augmentation for tiled binary prediction: "none" | "flips"
+    # (average foreground probabilities over the 4 flip transforms before
+    # thresholding — infer/tiling.TTA_TRANSFORMS). 4x device compute; the
+    # reference has no equivalent.
+    tta: str = "none"
 
 
 @dataclass(frozen=True)

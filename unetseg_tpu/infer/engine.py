@@ -217,7 +217,8 @@ class Predictor:
         f, h, w = images.shape
         t_in = tile_input or self.cfg.tile_input
         t_batch = tile_batch or self.cfg.tile_batch
-        key = ("masks", f, h, w, t_in, t_batch)
+        tta = self.cfg.tta
+        key = ("masks", f, h, w, t_in, t_batch, tta)
         fn = self._tiled_cache.get(key)
         if fn is None:
             from unetseg_tpu.infer.tiling import make_tiled_mask_batch_fn
@@ -226,7 +227,7 @@ class Predictor:
             fn = make_tiled_mask_batch_fn(
                 self._probs_raw, grid, n_frames=f,
                 threshold=self.cfg.threshold,
-                tile_batch=t_batch, mesh=self.mesh,
+                tile_batch=t_batch, mesh=self.mesh, tta=tta,
             )
             self._tiled_cache[key] = fn
         return np.asarray(fn(self._variables, jnp.asarray(images, jnp.float32)))

@@ -179,6 +179,21 @@ def make_tiled_fn(
     return jax.jit(lambda image: run_tiles(tile_fn, image))
 
 
+#: test-time augmentation transforms: (forward, inverse) pairs on (H, W)
+#: images / probability maps. Flips commute with the pad/tile/stitch
+#: pipeline only when applied to the FULL frame and inverted on the full
+#: stitched probabilities, which is how make_tiled_mask_batch_fn uses them.
+TTA_TRANSFORMS = {
+    "none": [(lambda x: x, lambda x: x)],
+    "flips": [
+        (lambda x: x, lambda x: x),
+        (lambda x: x[..., ::-1, :], lambda x: x[..., ::-1, :]),
+        (lambda x: x[..., :, ::-1], lambda x: x[..., :, ::-1]),
+        (lambda x: x[..., ::-1, ::-1], lambda x: x[..., ::-1, ::-1]),
+    ],
+}
+
+
 def make_tiled_mask_batch_fn(
     tile_fn: Callable,
     grid: TileGrid,
@@ -186,6 +201,7 @@ def make_tiled_mask_batch_fn(
     threshold: float,
     tile_batch: Optional[int] = None,
     mesh: Optional[MeshSpec] = None,
+    tta: str = "none",
 ) -> Callable:
     """Frame-BATCHED tiled binary segmentation as one jit program:
     fn(ctx, images (F, H, W) f32) -> (F, H, W) uint8.
@@ -205,7 +221,9 @@ def make_tiled_mask_batch_fn(
         batch = pad_tile_count(batch, mesh.num_data * mesh.num_tile)
     n_padded = pad_tile_count(total, batch)
 
-    def run(ctx, images: jnp.ndarray) -> jnp.ndarray:
+    transforms = TTA_TRANSFORMS[tta]
+
+    def frame_probs(ctx, images: jnp.ndarray) -> jnp.ndarray:
         padded = jax.vmap(lambda im: mirror_pad(im, grid))(images)
         tiles = jax.vmap(lambda p: extract_tiles(p, grid))(padded)
         tiles = tiles.reshape(total, *tiles.shape[2:])
@@ -227,7 +245,14 @@ def make_tiled_mask_batch_fn(
             f"foreground-probability head, got {outputs.shape}"
         )
         outputs = outputs.reshape(n_frames, n, *outputs.shape[1:])
-        probs = jax.vmap(lambda o: stitch(o, grid))(outputs)
+        return jax.vmap(lambda o: stitch(o, grid))(outputs)
+
+    def run(ctx, images: jnp.ndarray) -> jnp.ndarray:
+        acc = None
+        for fwd_t, inv_t in transforms:
+            p = inv_t(frame_probs(ctx, fwd_t(images)))
+            acc = p if acc is None else acc + p
+        probs = acc / len(transforms)
         return (probs > threshold).astype(jnp.uint8)
 
     return jax.jit(run)
