@@ -130,3 +130,48 @@ def test_dp_lanes_step_augmented_runs(setup):
     s2, m2 = dp(st, *b, jax.random.key(3))
     assert np.isfinite(float(m2["loss"]))
     assert np.isfinite(float(m2["grad_norm"]))
+
+
+def test_dp_lanes_epoch_scan_matches_per_step(setup):
+    """make_lanes_dp_epoch_step (scan feed) == two sequential DP steps."""
+    from unetseg_tpu.parallel.sharding import make_lanes_dp_epoch_step
+
+    mesh, model, state = setup
+    rs = np.random.RandomState(3)
+    n_frames, b = 16, 8
+    images = rs.rand(n_frames, SIZE, SIZE).astype(np.float32)
+    masks = (rs.rand(n_frames, SIZE, SIZE) > 0.6).astype(np.int32)
+    wmaps = rs.rand(n_frames, SIZE, SIZE).astype(np.float32) + 0.5
+    idx = np.arange(n_frames, dtype=np.int32).reshape(2, b)
+    vmat = np.ones((2, b), bool)
+    key = jax.random.key(7)
+
+    # reference: the jitted per-step DP path with matching fold_in keys
+    dp = make_lanes_dp_train_step(
+        mesh, CFG, augment=False, donate=False, interpret=True
+    )
+    st_ref = replicate_state(mesh, state)
+    for s in range(2):
+        batch = shard_batch(
+            mesh, images[idx[s]], masks[idx[s]], wmaps[idx[s]], vmat[s]
+        )
+        st_ref, m_ref = dp(st_ref, *batch, jax.random.fold_in(key, s))
+
+    epoch = make_lanes_dp_epoch_step(
+        mesh, CFG, donate=False, augment=False, interpret=True
+    )
+    repl = mesh.replicated()
+    st2, ms = epoch(
+        replicate_state(mesh, state),
+        jax.device_put(images, repl), jax.device_put(masks, repl),
+        jax.device_put(wmaps, repl), idx, vmat, key,
+    )
+    np.testing.assert_allclose(
+        float(ms["loss"][-1]), float(m_ref["loss"]), atol=1e-6, rtol=1e-6
+    )
+    p_ref = jax.tree_util.tree_leaves(st_ref.params)
+    p_scan = jax.tree_util.tree_leaves(st2.params)
+    for a, bb in zip(p_scan, p_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=2e-5, rtol=1e-5
+        )

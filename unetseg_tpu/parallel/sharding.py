@@ -111,6 +111,7 @@ def make_lanes_dp_train_step(
     aug_illum: float = 0.0,
     aug_noise: float = 0.0,
     interpret: bool = False,
+    jit: bool = True,
 ) -> Callable:
     """Data-parallel train step for the lanes-native forward
     (models/lanes_train.py) via `jax.shard_map` over the mesh's data axis.
@@ -190,6 +191,8 @@ def make_lanes_dp_train_step(
         state = state.apply_gradients(grads=grads, batch_stats=new_bs)
         return state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
 
+    if not jit:
+        return step
     repl = NamedSharding(mesh.mesh, P())
     batch_sh = NamedSharding(mesh.mesh, P(mesh.data_axis))
     return jax.jit(
@@ -198,6 +201,49 @@ def make_lanes_dp_train_step(
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def make_lanes_dp_epoch_step(
+    mesh: MeshSpec,
+    model_cfg,
+    donate: bool = True,
+    **step_kw,
+) -> Callable:
+    """Device-resident epoch-scan feed for the shard_map lanes step (the
+    companion of train/steps.make_epoch_train_step for the path GSPMD
+    cannot partition): the replicated dataset is gathered per scanned step,
+    the gathered batch carries a data-axis sharding constraint, and the
+    shard_map step runs inside the scan body. Same signature and RNG
+    discipline as make_epoch_train_step."""
+    import jax.numpy as jnp
+
+    inner = make_lanes_dp_train_step(
+        mesh, model_cfg, donate=False, jit=False, **step_kw
+    )
+    bs = mesh.batch_sharding()
+
+    def epoch_step(state, images_all, masks_all, wmaps_all, idx, valid, key):
+        def body(st, xs):
+            ib, vb, i = xs
+            step_key = jax.random.fold_in(key, i)
+            imgs = jax.lax.with_sharding_constraint(
+                jnp.take(images_all, ib, axis=0), bs
+            )
+            msks = jax.lax.with_sharding_constraint(
+                jnp.take(masks_all, ib, axis=0), bs
+            )
+            wms = jax.lax.with_sharding_constraint(
+                jnp.take(wmaps_all, ib, axis=0), bs
+            )
+            vb = jax.lax.with_sharding_constraint(vb, bs)
+            st, metrics = inner(st, imgs, msks, wms, vb, step_key)
+            return st, metrics
+
+        steps = jnp.arange(idx.shape[0], dtype=jnp.int32)
+        state, ms = jax.lax.scan(body, state, (idx, valid, steps))
+        return state, ms
+
+    return jax.jit(epoch_step, donate_argnums=(0,) if donate else ())
 
 
 def replicate_state(mesh: MeshSpec, state: TrainState) -> TrainState:

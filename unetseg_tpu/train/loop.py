@@ -161,20 +161,16 @@ def train(
     # Device-resident feed: scan the step over the epoch (ONE dispatch per
     # epoch; see TrainConfig.device_data). Under a GSPMD mesh the dataset
     # lives replicated and the gathered batches carry data-axis sharding
-    # constraints. The host-fed path remains for the shard_map lanes+mesh
-    # step, per-step profiling, and max_steps debugging.
+    # constraints; the shard_map lanes step scans via its own factory
+    # (GSPMD cannot partition pallas_call). The host-fed path remains for
+    # per-step profiling and max_steps debugging.
     use_scan = (
         t_cfg.device_data
-        and (mesh is None or not lanes)
         and t_cfg.profile_dir is None
         and max_steps is None
     )
     if use_scan:
-        from unetseg_tpu.train.steps import make_epoch_train_step
-
-        epoch_step = make_epoch_train_step(
-            model,
-            mesh=mesh,
+        aug_kw = dict(
             augment=d_cfg.augment,
             elastic_alpha=d_cfg.elastic_alpha,
             elastic_sigma=d_cfg.elastic_sigma,
@@ -185,9 +181,21 @@ def train(
             aug_gamma=d_cfg.aug_gamma,
             aug_illum=d_cfg.aug_illum,
             aug_noise=d_cfg.aug_noise,
-            remat=None if lanes else t_cfg.remat,
-            lanes=lanes,
         )
+        if lanes and mesh is not None:
+            from unetseg_tpu.parallel.sharding import make_lanes_dp_epoch_step
+
+            epoch_step = make_lanes_dp_epoch_step(mesh, m_cfg, **aug_kw)
+        else:
+            from unetseg_tpu.train.steps import make_epoch_train_step
+
+            epoch_step = make_epoch_train_step(
+                model,
+                mesh=mesh,
+                remat=None if lanes else t_cfg.remat,
+                lanes=lanes,
+                **aug_kw,
+            )
         repl = mesh.replicated() if mesh is not None else None
         dev_images = jax.device_put(data.images, repl)
         dev_masks = jax.device_put(data.masks, repl)
