@@ -174,6 +174,23 @@ def test_async_checkpointer_matches_sync(tmp_path):
     assert first.dtype == np.float32 or first.dtype == jax.numpy.bfloat16
 
 
+def test_async_checkpointer_surfaces_worker_errors(tmp_path):
+    """A failed background write must raise (on the next enqueue or at
+    close) instead of silently losing checkpoints."""
+    state = create_train_state(
+        jax.random.key(0), model_cfg=TINY_MODEL, input_size=SIZE
+    )
+    ck = ckpt.Checkpointer(str(tmp_path / "e"), keep=2, sync=False)
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    ck._write = boom
+    ck.save(state, 0, val_loss=0.5)
+    with pytest.raises(RuntimeError, match="background checkpoint save"):
+        ck.close()
+
+
 def test_lanes_active_resolution():
     """TrainConfig.lanes gating: auto is off on CPU, on forces (with a clear
     error for unsupported geometry), off disables."""
