@@ -31,7 +31,38 @@ from functools import partial
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _probe_backend(timeout_s: int) -> bool:
+    """Fail fast when the TPU backend is down: backend init through the
+    remote tunnel blocks uninterruptibly in-process (observed multi-hour
+    outages), so probe it in a SUBPROCESS under a timeout before paying
+    the real initialization."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jnp.ones((8, 128)).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
+    probe_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
+    if probe_s > 0 and not _probe_backend(probe_s):
+        print(
+            "bench: accelerator backend unavailable "
+            f"(probe timed out after {probe_s}s)",
+            file=sys.stderr,
+        )
+        return 1
+
     import jax
     import jax.numpy as jnp
     import numpy as np
