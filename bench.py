@@ -106,9 +106,11 @@ def main() -> int:
         and os.environ.get("UNETSEG_LANES_NET", "1") == "1"
         and supports(ModelConfig(), tile_in)
     )
+    # Tier-2 measured slower in-context (45.6-57.1 vs 62.2-62.6 MPix/s, r3
+    # A/B) — opt-in via UNETSEG_LANES_TIER2=1, matching infer/engine.py.
     use_t2 = (
         use_lanes
-        and os.environ.get("UNETSEG_LANES_TIER2", "1") == "1"
+        and os.environ.get("UNETSEG_LANES_TIER2", "0") == "1"
         and supports_tier2(ModelConfig(), tile_in)
     )
     if use_lanes:

@@ -103,7 +103,11 @@ class Predictor:
 
                 cfg = self.model.cfg
                 base_apply = apply_fn
-                want_t2 = os.environ.get("UNETSEG_LANES_TIER2", "1") == "1"
+                # Tier-2 (enc1/dec2 dense-layout kernels) measured SLOWER
+                # in-context on the bench geometry (57.1/45.6 vs 62.2-62.6
+                # MPix/s tier-1-only, r3 A/B) — opt-in, mirroring the train
+                # path's tier-2 default.
+                want_t2 = os.environ.get("UNETSEG_LANES_TIER2", "0") == "1"
 
                 def apply_fn(v, x):
                     if x.shape[1] == x.shape[2] and supports(cfg, x.shape[1]):
