@@ -156,6 +156,58 @@ def test_full_stream_keeps_latest_not_best(tmp_path):
     assert ckpt.latest_epoch(str(tmp_path / "c")) == 1
 
 
+def test_restore_inference_from_full_only_epoch(tmp_path):
+    """An epoch that exists only in the full (resume) stream — the
+    full_save_interval cadence writes full saves for non-best epochs —
+    must be restorable with predict --epoch: the fallback used to look in
+    the legacy root instead of <dir>/full and raised FileNotFoundError."""
+    state = create_train_state(
+        jax.random.key(0), model_cfg=TINY_MODEL, input_size=SIZE
+    )
+    ck = ckpt.Checkpointer(str(tmp_path / "c"), sync=True)
+    ck.save(state, 0, val_loss=0.5)       # light best-k stream @0
+    ck.save_full(state, 5, val_loss=0.9)  # full stream only @5
+    ck.close()
+    params, batch_stats = ckpt.restore_params_for_inference(
+        str(tmp_path / "c"), state, epoch=5
+    )
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_restore_checkpoint_full_errors_not_masked(tmp_path, monkeypatch):
+    """When a full stream exists, a failing full restore (e.g. the caller's
+    optimizer template no longer matches the checkpoint) must surface ITS
+    error — not fall through to re-trying the LIGHT stream at the root,
+    which masks the cause with a confusing tree mismatch."""
+    from unetseg_tpu.core.config import TrainConfig
+
+    state = create_train_state(
+        jax.random.key(0), model_cfg=TINY_MODEL, input_size=SIZE
+    )
+    ck = ckpt.Checkpointer(str(tmp_path / "c"), sync=True)
+    ck.save(state, 0, val_loss=0.5)
+    ck.save_full(state, 5, val_loss=0.9)
+    ck.close()
+    adam_state = create_train_state(
+        jax.random.key(0),
+        model_cfg=TINY_MODEL,
+        train_cfg=TrainConfig(optimizer="adam", donate_state=False),
+        input_size=SIZE,
+    )
+    consulted = []
+    orig = ckpt._stream_latest
+    monkeypatch.setattr(
+        ckpt, "_stream_latest", lambda d: consulted.append(d) or orig(d)
+    )
+    with pytest.raises(Exception):
+        ckpt.restore_checkpoint(str(tmp_path / "c"), adam_state)
+    # only the full stream was consulted after the initial resolution —
+    # the legacy/light root is for directories with NO full stream
+    assert all(d.endswith("full") for d in consulted)
+
+
 def test_async_checkpointer_matches_sync(tmp_path):
     """Async (background-writer) saves persist the same artifacts."""
     state = create_train_state(
@@ -206,3 +258,23 @@ def test_lanes_active_resolution():
         lanes_active("on", TINY_MODEL, 189, mesh=None)
     with pytest.raises(ValueError, match="auto"):
         lanes_active("sometimes", TINY_MODEL, SIZE, mesh=None)
+
+
+def test_lanes_active_mesh_divisibility():
+    """shard_map splits the batch dim evenly over the data axis — a batch
+    that does not divide by the data-parallel degree must keep lanes OFF in
+    auto mode and fail loudly in 'on' mode (GSPMD tolerates uneven shards,
+    shard_map does not)."""
+    from unetseg_tpu.core.config import MeshConfig
+    from unetseg_tpu.core.mesh import make_mesh
+    from unetseg_tpu.train.loop import lanes_active
+
+    mesh = make_mesh(MeshConfig(data_parallel=4), devices=jax.devices()[:4])
+    # divisible: "on" works
+    assert lanes_active("on", TINY_MODEL, SIZE, mesh, batch_size=8) is True
+    # non-divisible: "on" raises, "auto" resolves False (even on TPU)
+    with pytest.raises(ValueError, match="divisible"):
+        lanes_active("on", TINY_MODEL, SIZE, mesh, batch_size=6)
+    assert (
+        lanes_active("auto", TINY_MODEL, SIZE, mesh, batch_size=6) is False
+    )

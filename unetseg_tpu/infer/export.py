@@ -31,9 +31,10 @@ from jax import export as jax_export
 
 from unetseg_tpu.core.config import InferConfig, ModelConfig
 
-# Calling-convention floor: symbolic-batch artifacts need >= 9 (shape
-# polymorphism with dimension arguments).
-_EXPORT_VERSION = jax_export.maximum_supported_calling_convention_version
+# Symbolic-batch artifacts need calling-convention version >= 9 (shape
+# polymorphism with dimension arguments); jax.export's own minimum
+# supported version is already 9, so the floor holds by construction —
+# export() takes no version argument to pin.
 
 
 def make_serving_fn(

@@ -211,39 +211,18 @@ def make_lanes_dp_epoch_step(
 ) -> Callable:
     """Device-resident epoch-scan feed for the shard_map lanes step (the
     companion of train/steps.make_epoch_train_step for the path GSPMD
-    cannot partition): the replicated dataset is gathered per scanned step,
-    the gathered batch carries a data-axis sharding constraint, and the
-    shard_map step runs inside the scan body. Same signature and RNG
-    discipline as make_epoch_train_step."""
-    import jax.numpy as jnp
+    cannot partition): the shard_map step runs as the scan body's inner
+    step via make_epoch_train_step's inner_step hook, so the gather-by-
+    index protocol, sharding constraints, and RNG discipline live in ONE
+    place (train/steps.py)."""
+    from unetseg_tpu.train.steps import make_epoch_train_step
 
     inner = make_lanes_dp_train_step(
         mesh, model_cfg, donate=False, jit=False, **step_kw
     )
-    bs = mesh.batch_sharding()
-
-    def epoch_step(state, images_all, masks_all, wmaps_all, idx, valid, key):
-        def body(st, xs):
-            ib, vb, i = xs
-            step_key = jax.random.fold_in(key, i)
-            imgs = jax.lax.with_sharding_constraint(
-                jnp.take(images_all, ib, axis=0), bs
-            )
-            msks = jax.lax.with_sharding_constraint(
-                jnp.take(masks_all, ib, axis=0), bs
-            )
-            wms = jax.lax.with_sharding_constraint(
-                jnp.take(wmaps_all, ib, axis=0), bs
-            )
-            vb = jax.lax.with_sharding_constraint(vb, bs)
-            st, metrics = inner(st, imgs, msks, wms, vb, step_key)
-            return st, metrics
-
-        steps = jnp.arange(idx.shape[0], dtype=jnp.int32)
-        state, ms = jax.lax.scan(body, state, (idx, valid, steps))
-        return state, ms
-
-    return jax.jit(epoch_step, donate_argnums=(0,) if donate else ())
+    return make_epoch_train_step(
+        None, donate=donate, mesh=mesh, inner_step=inner
+    )
 
 
 def replicate_state(mesh: MeshSpec, state: TrainState) -> TrainState:

@@ -330,13 +330,15 @@ def restore_checkpoint(
     full_dir = _full_dir(directory)
     full_epoch = _stream_latest(full_dir)
     if full_epoch is not None:
+        # A full stream exists: restore from it and surface ITS errors.
+        # Falling through to the legacy path here would re-try against the
+        # LIGHT stream at the root (bf16 params only) and fail with a
+        # confusing tree mismatch that masks the real cause (e.g. an
+        # optimizer-state template change).
         e = epoch if epoch is not None else full_epoch
-        try:
-            state, extra = _restore_full_from(full_dir, state, e)
-            return state, int(e), extra
-        except Exception:
-            if epoch is not None:
-                raise  # the caller asked for this specific epoch
+        state, extra = _restore_full_from(full_dir, state, e)
+        return state, int(e), extra
+    # Legacy single-stream root (pre-two-stream checkpoints).
     e = epoch if epoch is not None else _stream_latest(directory)
     if e is None:
         raise FileNotFoundError(f"no checkpoints under {directory}")
@@ -437,8 +439,9 @@ def restore_params_for_inference(
             state = state.replace(tx=tx, opt_state=tx.init(state.params))
     except Exception:
         pass  # fall back to the caller's template
-    if epoch is not None:
-        st, extra = _restore_full_from(directory, state, epoch)
-    else:
-        st, _, extra = restore_checkpoint(directory, state, None)
+    # restore_checkpoint resolves the full stream (<dir>/full) first and
+    # falls back to a legacy single-stream root — for an explicit epoch too:
+    # a full-save-only epoch (full_save_interval cadence) exists only there,
+    # not in the light best-k root.
+    st, _, _ = restore_checkpoint(directory, state, epoch)
     return st.params, st.batch_stats

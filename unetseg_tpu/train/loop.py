@@ -43,21 +43,30 @@ class TrainResult:
 
 
 def lanes_active(
-    mode: str, m_cfg, input_size: int, mesh: Optional[MeshSpec]
+    mode: str,
+    m_cfg,
+    input_size: int,
+    mesh: Optional[MeshSpec],
+    batch_size: Optional[int] = None,
 ) -> bool:
     """Resolve TrainConfig.lanes ("auto"|"on"|"off") for this run.
 
     Auto requires a real TPU backend (the Pallas kernels are Mosaic-only)
     and a geometry the lanes layout supports. Under a device mesh the lanes
     kernels run inside shard_map over the data axis
-    (parallel/sharding.make_lanes_dp_train_step) — the per-device batch
-    shard must be non-empty, which holds whenever batch >= data-parallel
-    degree (enforced at step time by the shard_map specs)."""
+    (parallel/sharding.make_lanes_dp_train_step), whose in_specs split the
+    batch dim evenly — so the batch must divide by the data-parallel degree
+    (GSPMD tolerates uneven shards; shard_map does not)."""
     from unetseg_tpu.infer.lanes_net import supports
 
     if mode == "off":
         return False
     ok = supports(m_cfg, input_size)
+    divisible = (
+        mesh is None
+        or batch_size is None
+        or batch_size % mesh.num_data == 0
+    )
     if mode == "on":
         if not ok:
             raise ValueError(
@@ -65,10 +74,16 @@ def lanes_active(
                 f"this geometry (input_size={input_size}, levels="
                 f"{m_cfg.levels}, base_features={m_cfg.base_features})"
             )
+        if not divisible:
+            raise ValueError(
+                f"TrainConfig.lanes='on' under a mesh needs batch_size "
+                f"({batch_size}) divisible by the data-parallel degree "
+                f"({mesh.num_data}); shard_map splits the batch evenly"
+            )
         return True
     if mode != "auto":
         raise ValueError(f"TrainConfig.lanes must be auto|on|off, got {mode!r}")
-    return ok and jax.default_backend() == "tpu"
+    return ok and divisible and jax.default_backend() == "tpu"
 
 
 def _put_batch(batch, spec: Optional[MeshSpec]):
@@ -120,7 +135,9 @@ def train(
         state = jax.device_put(state, mesh.replicated())
 
     three_class = m_cfg.num_classes == 3
-    lanes = lanes_active(t_cfg.lanes, m_cfg, input_size, mesh)
+    lanes = lanes_active(
+        t_cfg.lanes, m_cfg, input_size, mesh, batch_size=t_cfg.batch_size
+    )
     if lanes:
         logger.log({"event": "lanes_train", "input_size": input_size})
     if lanes and mesh is not None:

@@ -237,7 +237,7 @@ def make_train_step(
 
 
 def make_epoch_train_step(
-    model: UNet, donate: bool = True, mesh=None, **step_kw
+    model: UNet, donate: bool = True, mesh=None, inner_step=None, **step_kw
 ) -> Callable:
     """Whole-epoch train step over a DEVICE-RESIDENT dataset.
 
@@ -264,8 +264,15 @@ def make_epoch_train_step(
     mesh (a core.mesh.MeshSpec) turns on GSPMD data parallelism: the
     dataset lives replicated, each gathered batch is sharding-constrained
     over the data axis, and XLA partitions the step (same program the
-    host-fed mesh path compiles, minus the per-step host transfer)."""
-    inner = make_train_step(model, donate=False, jit=False, **step_kw)
+    host-fed mesh path compiles, minus the per-step host transfer).
+
+    inner_step overrides the per-step program (same signature as a
+    make_train_step(jit=False) step) — parallel/sharding's shard_map lanes
+    step feeds through here so both device-resident paths share one scan
+    body."""
+    inner = inner_step or make_train_step(
+        model, donate=False, jit=False, **step_kw
+    )
 
     def epoch_step(state, images_all, masks_all, wmaps_all, idx, valid, key):
         def body(st, xs):
