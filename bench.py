@@ -54,11 +54,27 @@ def _probe_backend(timeout_s: int) -> bool:
 
 
 def main() -> int:
+    # The chip wedges transiently (observed minutes to ~1 h); this script
+    # is run ONCE per round by the driver, so ride out short wedges with a
+    # bounded probe-retry window instead of failing on the first timeout.
     probe_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
-    if probe_s > 0 and not _probe_backend(probe_s):
+    wait_s = int(os.environ.get("BENCH_PROBE_WAIT", "1800"))
+    deadline = time.time() + wait_s
+    ok = probe_s <= 0
+    while not ok:
+        ok = _probe_backend(probe_s)
+        if ok or time.time() >= deadline:
+            break
+        print(
+            "bench: accelerator probe timed out; retrying "
+            f"({int(deadline - time.time())}s left in the wait window)",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+    if not ok:
         print(
             "bench: accelerator backend unavailable "
-            f"(probe timed out after {probe_s}s)",
+            f"(probes timed out for {wait_s}s)",
             file=sys.stderr,
         )
         return 1
