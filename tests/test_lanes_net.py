@@ -2,6 +2,7 @@
 parity with FoldedUNet on the tiny-net geometry (interpret-mode kernels)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,4 +76,45 @@ def test_tier2_matches_folded_unet():
         fvars["params"], x, cfg, interpret=True, tier2=True
     )
     assert got.shape == ref.shape == (2, 4, 4, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+@pytest.mark.slow
+@pytest.mark.parametrize("size", [236, 260])
+def test_tier1_parity_across_lane_strides(size):
+    """supports() admits 143 input sizes in [188, 760) but parity was pinned
+    only at 188/512/700. 260 is the smallest size in the stride-256 lane
+    class (lane_stride jumps 128->256 when the half-size crosses 128); 236
+    exercises stride-128 crop offsets different from 188's."""
+    cfg = ModelConfig(base_features=4, compute_dtype="float32")
+    model = UNet(cfg=cfg)
+    v = init_unet(model, jax.random.key(3), input_size=size)
+    fmodel, fvars = fold_batchnorm(cfg, v)
+    assert supports(cfg, size)
+    x = jnp.asarray(
+        np.random.RandomState(size).rand(1, size, size, 1).astype(np.float32)
+    )
+    ref = fmodel.apply(fvars, x)
+    got = folded_forward_tier1(fvars["params"], x, cfg, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+@pytest.mark.slow
+def test_tier2_parity_stride256():
+    """Tier-2 dense kernels at the smallest stride-256 geometry."""
+    from unetseg_tpu.infer.lanes_net import supports_tier2
+
+    size = 260
+    cfg = ModelConfig(base_features=8, compute_dtype="float32")
+    model = UNet(cfg=cfg)
+    v = init_unet(model, jax.random.key(4), input_size=size)
+    fmodel, fvars = fold_batchnorm(cfg, v)
+    assert supports_tier2(cfg, size)
+    x = jnp.asarray(
+        np.random.RandomState(42).rand(1, size, size, 1).astype(np.float32)
+    )
+    ref = fmodel.apply(fvars, x)
+    got = folded_forward_tier1(
+        fvars["params"], x, cfg, interpret=True, tier2=True
+    )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
