@@ -102,8 +102,11 @@ def parse(tmpdir, n_iters=3):
         args = e.get("args") or {}
         dur = e.get("dur", 0) / 1e3  # us -> ms
         name = e.get("name", "")
-        if "run_id" in args and not args.get("hlo_category"):
-            continue  # module-level envelope event
+        if not args.get("hlo_category") and (
+            "run_id" in args or not args.get("tf_op")
+        ):
+            continue  # module-level envelope event (whole-program span; its
+            # duration double-counts every op inside it)
         cat = args.get("hlo_category", "?")
         op = args.get("tf_op") or name
         by_op[(op, cat)] += dur
