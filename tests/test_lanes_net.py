@@ -53,6 +53,41 @@ def test_tier1_three_class_head():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
 
 
+def test_mid_hcnw_matches_folded_unet():
+    """The (H, C, B, W) middle (zero boundary transposes) is numerically
+    identical to the NHWC middle."""
+    cfg, fmodel, fvars = _folded_tiny()
+    x = jnp.asarray(
+        np.random.RandomState(3).rand(2, 188, 188, 1).astype(np.float32)
+    )
+    ref = fmodel.apply(fvars, x)
+    got = folded_forward_tier1(
+        fvars["params"], x, cfg, interpret=True, mid_hcnw=True
+    )
+    assert got.shape == ref.shape == (2, 4, 4, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("size", [236, 260])
+def test_mid_hcnw_parity_across_lane_strides(size):
+    """HCNW-middle valid-width bookkeeping across both lane-stride classes
+    (the garbage-tail arithmetic differs with st0 - wp0)."""
+    cfg = ModelConfig(base_features=4, compute_dtype="float32")
+    model = UNet(cfg=cfg)
+    v = init_unet(model, jax.random.key(5), input_size=size)
+    fmodel, fvars = fold_batchnorm(cfg, v)
+    x = jnp.asarray(
+        np.random.RandomState(size).rand(1, size, size, 1).astype(np.float32)
+    )
+    ref = fmodel.apply(fvars, x)
+    got = folded_forward_tier1(
+        fvars["params"], x, cfg, interpret=True, mid_hcnw=True
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
 def test_supports_tier2_geometries():
     from unetseg_tpu.infer.lanes_net import supports_tier2
 

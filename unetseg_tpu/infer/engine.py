@@ -108,12 +108,19 @@ class Predictor:
                 # MPix/s tier-1-only, r3 A/B) — opt-in, mirroring the train
                 # path's tier-2 default.
                 want_t2 = os.environ.get("UNETSEG_LANES_TIER2", "0") == "1"
+                # HCNW middle (free lanes reshape, no boundary transposes):
+                # measured 2 ms SLOWER in-context at the bench geometry
+                # (68.5 vs 66.5 ms interleaved A/B) — XLA re-pays the saved
+                # transposes in conv-adjacent layout copies plus an
+                # unfusable W pad at the up3 entry. Kept opt-in.
+                want_hcnw = os.environ.get("UNETSEG_MID_HCNW", "0") == "1"
 
                 def apply_fn(v, x):
                     if x.shape[1] == x.shape[2] and supports(cfg, x.shape[1]):
                         t2 = want_t2 and supports_tier2(cfg, x.shape[1])
                         return folded_forward_tier1(
-                            v["params"], x, cfg, tier2=t2
+                            v["params"], x, cfg, tier2=t2,
+                            mid_hcnw=want_hcnw and not t2,
                         )
                     return base_apply(v, x)
         else:

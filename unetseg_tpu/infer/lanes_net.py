@@ -93,6 +93,43 @@ def supports_tier2(model_cfg: ModelConfig, input_size: int) -> bool:
     return True
 
 
+_HCNW = ("HCNW", "HWIO", "HCNW")
+
+
+def _conv_hcnw(x, k, b, dtype, relu=True):
+    """VALID 3x3 conv on an (H, C, B, W) tensor — the lanes layout after a
+    free reshape. Measured on v5e: XLA's conv throughput is layout-
+    independent (126 vs 125 TF/s at the enc1/dec2 shapes, tools/
+    kbench_layout.py), so running the middle in this layout deletes the
+    from_lanes/to_lanes boundary transposes entirely."""
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(dtype), (1, 1), "VALID", dimension_numbers=_HCNW,
+        preferred_element_type=dtype,
+    ) + b.astype(dtype)[None, :, None, None]
+    return jnp.maximum(y, 0) if relu else y
+
+
+def _block_hcnw(x, p, dtype):
+    for i in range(2):
+        c = p[f"conv{i}"]
+        x = _conv_hcnw(x, c["kernel"], c["bias"], dtype)
+    return x
+
+
+def _tconv_hcnw(x, p, dtype):
+    y = jax.lax.conv_transpose(
+        x, p["kernel"].astype(dtype), (2, 2), "VALID",
+        dimension_numbers=_HCNW,
+    )
+    return y + p["bias"].astype(dtype)[None, :, None, None]
+
+
+def _pool_hcnw(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (2, 1, 1, 2), (2, 1, 1, 2), "VALID"
+    )
+
+
 def _conv_nhwc(x, k, b, dtype, relu=True):
     y = jax.lax.conv_general_dilated(
         x, k.astype(dtype), (1, 1), "VALID",
@@ -117,12 +154,54 @@ def _tconv_nhwc(x, p, dtype):
     return y + p["bias"].astype(dtype)
 
 
+def _middle_hcnw(params, pooled, b, wp0, st0, model_cfg, dtype):
+    """Run enc1..enc4 + dec0..dec2 on the (H, C, B, W) view of the pooled
+    lanes tensor and return the up3 tconv's lanes input — zero boundary
+    transposes (the reshape in and out are free; only the W pad at exit and
+    the skip-crop slices copy, which the NHWC path pays too).
+
+    The encoder tensors carry the lanes tail pad as garbage columns past
+    each level's valid width `vw` (VALID convs shrink the garbage boundary
+    in lockstep with the valid width, pools halve both, so garbage never
+    leaks left into valid columns); skip crops slice from within the valid
+    span, so the decoder is exact-width throughout."""
+    f0 = model_cfg.base_features
+    xm = pooled[:wp0].reshape(wp0, f0, b, st0)
+    vw = wp0
+    skips = []  # (tensor, valid_w)
+    for lvl in range(1, model_cfg.levels):
+        if lvl > 1:
+            xm = _pool_hcnw(xm)
+            vw //= 2
+        xm = _block_hcnw(xm, params[f"enc{lvl}"], dtype)
+        vw -= 4
+        skips.append((xm, vw))
+
+    xm, vw = skips[-1]
+    if xm.shape[3] > vw:  # drop the bottleneck's residual garbage tail
+        xm = xm[..., :vw]
+    for i in range(model_cfg.levels - 2):  # dec0..dec2
+        xm = _tconv_hcnw(xm, params[f"up{i}_tconv"], dtype)
+        skip, vws = skips[-(i + 2)]
+        oh = (skip.shape[0] - xm.shape[0]) // 2
+        ow = (vws - xm.shape[3]) // 2
+        skip_c = skip[oh : oh + xm.shape[0], :, :, ow : ow + xm.shape[3]]
+        xm = jnp.concatenate([skip_c, xm.astype(dtype)], axis=1)
+        xm = _block_hcnw(xm, params[f"dec{i}"], dtype)
+
+    d2w = xm.shape[3]
+    if d2w < st0:
+        xm = jnp.pad(xm, ((0, 0), (0, 0), (0, 0), (0, st0 - d2w)))
+    return xm.reshape(xm.shape[0], xm.shape[1], b * st0)
+
+
 def folded_forward_tier1(
     params: Dict[str, Any],
     x: jnp.ndarray,
     model_cfg: ModelConfig,
     interpret: bool = False,
     tier2: bool = False,
+    mid_hcnw: bool = False,
 ) -> jnp.ndarray:
     """(B, S, S, 1) -> (B, s', s', num_classes) f32 logits; `params` is the
     folded tree from infer/folding.fold_batchnorm.
@@ -134,7 +213,12 @@ def folded_forward_tier1(
     (sparse even-lane output, strided exit); and dec2 runs as
     dec_conv0_lanes (skip1 consumed in lanes, crop folded into DMA
     offset + rolls) + conv3x3_lanes, feeding up3's tconv its dense lanes
-    input directly (removing tier 1's to_lanes boundary)."""
+    input directly (removing tier 1's to_lanes boundary).
+
+    With mid_hcnw the NHWC middle is replaced by the same XLA convs on the
+    (H, C, B, W) view of the lanes tensor (_middle_hcnw): conv throughput
+    is layout-independent on v5e but the from_lanes/to_lanes boundary
+    transposes disappear."""
     dtype = jnp.dtype(model_cfg.compute_dtype)
     b, s, _, cin = x.shape
     assert cin == 1
@@ -177,6 +261,15 @@ def folded_forward_tier1(
     )
     wp0 = (s - 4) // 2
 
+    # ---- middle in HCNW: free reshape of the pooled lanes tensor ----
+    if mid_hcnw and not tier2:
+        tl = _middle_hcnw(params, pooled, b, wp0, st0, model_cfg, dtype)
+        tconv_hv = 0
+        return _dec3_head(
+            params, tl, skip0, sh, f0, st0, tconv_hv, model_cfg, b,
+            interpret,
+        )
+
     # ---- encoder level 1 (tier 2): dense lanes on the pooled tensor ----
     skip1 = None
     if tier2:
@@ -217,8 +310,6 @@ def folded_forward_tier1(
         xm = jnp.concatenate([skip_c, xm.astype(dtype)], axis=-1)
         xm = _block_nhwc(xm, params[f"dec{i}"], dtype)
 
-    dlast = model_cfg.levels - 2  # dec3 for 5 levels
-    up_w = sh.crops[-1]
     if tier2:
         # ---- decoder level 1 (tier 2): dense lanes ----
         d2 = model_cfg.levels - 3  # dec2
@@ -253,6 +344,23 @@ def folded_forward_tier1(
         else:
             tl = to_lanes(xm)
         tconv_hv = 0
+    return _dec3_head(
+        params, tl, skip0, sh, f0, st0, tconv_hv, model_cfg, b, interpret
+    )
+
+
+def _dec3_head(params, tl, skip0, sh, f0, st0, tconv_hv, model_cfg, b,
+               interpret):
+    """up3 tconv -> dec3 (skip crop folded into DMA) -> 1x1 head, all in
+    lanes; shared by the NHWC, HCNW, and tier-2 middles."""
+    dtype = tl.dtype
+    dlast = model_cfg.levels - 2  # dec3 for 5 levels
+    up_w = sh.crops[-1]
+    one_f0 = jnp.ones((f0, 1), jnp.float32)
+
+    def cb(p):
+        return p["kernel"], p["bias"].reshape(-1, 1)
+
     pu = params[f"up{dlast}_tconv"]
     up_l = tconv2x2_phase2(
         tl, pu["kernel"], pu["bias"].reshape(-1, 1), st0,
@@ -262,20 +370,19 @@ def folded_forward_tier1(
     row_off = (sh.encoder[0] - up_w) // 2
     kd0, bd0 = cb(params[f"dec{dlast}"]["conv0"])
     y = dec_conv0_phase2(
-        skip0, up_l, kd0, one(f0), bd0, st0,
+        skip0, up_l, kd0, one_f0, bd0, st0,
         out_rows=up_w - 2, row_off=row_off, lane_off=row_off // 2,
         interpret=interpret, raw_rows=True,
     )
     kd1, bd1 = cb(params[f"dec{dlast}"]["conv1"])
     y = conv3x3_phase2(
-        y, kd1, one(f0), bd1, st0, interpret=interpret,
+        y, kd1, one_f0, bd1, st0, interpret=interpret,
         h_valid=up_w - 2, raw_rows=True,
     )
 
     # ---- 1x1 head in lanes (bf16 operands, f32 accumulation) ----
     ko = params["outc"]["kernel"].reshape(f0, -1)
     bo = params["outc"]["bias"]
-    nc = ko.shape[1]
     logits = []
     for p in range(2):
         yp = y[:, p * f0 : (p + 1) * f0, :]
