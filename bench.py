@@ -92,8 +92,11 @@ def main() -> int:
     size = int(os.environ.get("BENCH_IMAGE_SIZE", "512"))
     frames_per_call = int(os.environ.get("BENCH_FRAMES", "16"))
     tile_chunk = int(os.environ.get("BENCH_TILE_CHUNK", "16"))
-    lo = int(os.environ.get("BENCH_L_LO", "1"))
-    hi = int(os.environ.get("BENCH_L_HI", "5"))
+    # Slope deltas: hi-lo iterations must dwarf the tunnel's fetch jitter
+    # (a 4-iter delta with a full-mask fetch measured anywhere from 53 to
+    # 75 MPix/s across runs; 20 iters + a scalar fetch is stable to ~1%).
+    lo = int(os.environ.get("BENCH_L_LO", "4"))
+    hi = int(os.environ.get("BENCH_L_HI", "24"))
     # Tile size: "auto" picks the smallest net input whose output covers the
     # frame in ONE tile (min_tile_input) — the valid-conv margin is paid per
     # tile, so 1x 700->516 beats 4x 512->324 by ~2.1x compute for identical
@@ -161,14 +164,18 @@ def main() -> int:
             c2 = c * 0.999 + masks.astype(jnp.float32) * 1e-6
             return c2, ()
         out, _ = jax.lax.scan(body, frames, None, length=length)
-        return segment(fv, out)
+        # Fetch a SCALAR to sync: every mask already feeds the next scan
+        # iteration (nothing can be elided), and a full-mask fetch costs a
+        # jittery ~120 ms through the 35 MB/s tunnel — which used to swamp
+        # the slope.
+        return jnp.sum(segment(fv, out).astype(jnp.float32))
 
     frames = jnp.asarray(
         np.random.RandomState(0).rand(frames_per_call, size, size).astype(np.float32)
     )
 
     def run(length):
-        return np.asarray(repeated(fvars, frames, length))
+        return float(repeated(fvars, frames, length))
 
     run(lo)
     run(hi)  # compile both
