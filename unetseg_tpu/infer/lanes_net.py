@@ -130,6 +130,33 @@ def _pool_hcnw(x):
     )
 
 
+def _dec_entry_nhwc(skip, up, p0, dtype):
+    """Decoder-entry conv0 with the skip center-crop and the channel concat
+    folded into the conv: split the kernel along CI into the skip half and
+    the up half, crop the skip via NEGATIVE conv padding (XLA reads only
+    the cropped window — no slice copy), and sum the two convs (== conv of
+    the concat, exactly). Removes one full-tensor slice and one concat
+    materialization per decoder level."""
+    hs, ws = skip.shape[1], skip.shape[2]
+    hu, wu = up.shape[1], up.shape[2]
+    oh, ow = (hs - hu) // 2, (ws - wu) // 2
+    k = p0["kernel"]
+    cs = skip.shape[3]
+    ks, ku = k[:, :, :cs], k[:, :, cs:]
+    ys = jax.lax.conv_general_dilated(
+        skip, ks.astype(dtype), (1, 1),
+        [(-oh, -(hs - oh - hu)), (-ow, -(ws - ow - wu))],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    )
+    yu = jax.lax.conv_general_dilated(
+        up.astype(dtype), ku.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    )
+    return jnp.maximum(ys + yu + p0["bias"].astype(dtype), 0)
+
+
 def _conv_nhwc(x, k, b, dtype, relu=True):
     y = jax.lax.conv_general_dilated(
         x, k.astype(dtype), (1, 1), "VALID",
@@ -202,6 +229,7 @@ def folded_forward_tier1(
     interpret: bool = False,
     tier2: bool = False,
     mid_hcnw: bool = False,
+    fuse_dec_entry: bool = True,
 ) -> jnp.ndarray:
     """(B, S, S, 1) -> (B, s', s', num_classes) f32 logits; `params` is the
     folded tree from infer/folding.fold_batchnorm.
@@ -306,9 +334,14 @@ def folded_forward_tier1(
     for i in range(n_dec_nhwc):  # dec0..dec2 (dec0..dec1 with tier2)
         xm = _tconv_nhwc(xm, params[f"up{i}_tconv"], dtype)
         skip = skips[-(i + 2)]
-        skip_c = center_crop_nhwc(skip, xm.shape[1], xm.shape[2])
-        xm = jnp.concatenate([skip_c, xm.astype(dtype)], axis=-1)
-        xm = _block_nhwc(xm, params[f"dec{i}"], dtype)
+        if fuse_dec_entry:
+            xm = _dec_entry_nhwc(skip, xm, params[f"dec{i}"]["conv0"], dtype)
+            c1 = params[f"dec{i}"]["conv1"]
+            xm = _conv_nhwc(xm, c1["kernel"], c1["bias"], dtype)
+        else:
+            skip_c = center_crop_nhwc(skip, xm.shape[1], xm.shape[2])
+            xm = jnp.concatenate([skip_c, xm.astype(dtype)], axis=-1)
+            xm = _block_nhwc(xm, params[f"dec{i}"], dtype)
 
     if tier2:
         # ---- decoder level 1 (tier 2): dense lanes ----
