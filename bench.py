@@ -132,9 +132,12 @@ def main() -> int:
         and os.environ.get("UNETSEG_LANES_TIER2", "0") == "1"
         and supports_tier2(ModelConfig(), tile_in)
     )
+    fe0 = os.environ.get("UNETSEG_FUSED_ENC0", "0") == "1"
+    dec_fuse = os.environ.get("UNETSEG_DEC_FUSE", "none")
     if use_lanes:
         apply_fn = lambda fv, x: folded_forward_tier1(
-            fv["params"], x, ModelConfig(), tier2=use_t2
+            fv["params"], x, ModelConfig(), tier2=use_t2,
+            fused_enc0=fe0, dec_fuse=dec_fuse,
         )
     else:
         apply_fn = lambda fv, x: fmodel.apply(fv, x)

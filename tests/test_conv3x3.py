@@ -218,3 +218,131 @@ def test_folded_unet_lanes_path_runs():
     assert fm.use_lanes is False
     y = fm.apply(fv, jnp.zeros((1, 188, 188, 1)))
     assert y.shape == (1, 4, 4, 2)
+
+
+def test_enc0_fused_matches_chained():
+    """Fused stem+conv1+pool kernel == the chained phase2 kernels (and the
+    lax reference): same ingest, identical valid region of skip and pooled."""
+    from unetseg_tpu.ops.pallas.conv3x3 import (
+        conv3x3_phase2,
+        enc0_fused_phase2,
+        from_lanes,
+        from_lanes_p2,
+        lane_stride,
+        to_lanes_p2,
+    )
+
+    rs = np.random.RandomState(8)
+    s = 30  # valid U-Net-ish ingest: conv->conv->pool needs (s-4) even
+    x = jnp.asarray(rs.rand(2, s, s, 4).astype(np.float32))
+    k0 = jnp.asarray(rs.rand(3, 3, 4, 16).astype(np.float32) * 0.1)
+    b0 = jnp.asarray(rs.rand(16, 1).astype(np.float32) - 0.5)
+    k1 = jnp.asarray(rs.rand(3, 3, 16, 16).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rs.rand(16, 1).astype(np.float32) - 0.5)
+    one = jnp.ones((16, 1), np.float32)
+    stride = lane_stride(-(-s // 2))
+    xl = to_lanes_p2(x)
+
+    h = conv3x3_phase2(xl, k0, one, b0, stride, interpret=True,
+                       h_valid=s, raw_rows=True, unit_scale=True)
+    skip_c, pool_c = conv3x3_phase2(h, k1, one, b1, stride, interpret=True,
+                                    fuse_pool=True, h_valid=s - 2,
+                                    raw_rows=True, unit_scale=True)
+    skip_f, pool_f = enc0_fused_phase2(xl, k0, b0, k1, b1, stride,
+                                       h_valid=s, interpret=True)
+
+    ho, wo = s - 4, s - 4
+    got_skip = from_lanes_p2(skip_f[:ho], 2, wo)
+    want_skip = from_lanes_p2(skip_c[:ho], 2, wo)
+    np.testing.assert_allclose(np.asarray(got_skip), np.asarray(want_skip),
+                               atol=2e-5)
+    got_pool = from_lanes(pool_f[: ho // 2], 2, wo // 2)
+    want_pool = from_lanes(pool_c[: ho // 2], 2, wo // 2)
+    np.testing.assert_allclose(np.asarray(got_pool), np.asarray(want_pool),
+                               atol=2e-5)
+
+    # and against the plain lax reference
+    h_ref = _ref_conv(x, k0, b0[:, 0])
+    c_ref = _ref_conv(h_ref, k1, b1[:, 0])
+    np.testing.assert_allclose(np.asarray(got_skip), np.asarray(c_ref),
+                               atol=2e-5)
+    p_ref = jax.lax.reduce_window(
+        c_ref, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+    np.testing.assert_allclose(np.asarray(got_pool), np.asarray(p_ref),
+                               atol=2e-5)
+
+
+def test_conv_head_fused_matches_unfused():
+    """conv3x3_head_phase2 == conv3x3_phase2 + per-phase 1x1 head dot."""
+    from unetseg_tpu.ops.pallas.conv3x3 import (
+        conv3x3_head_phase2,
+        conv3x3_phase2,
+        from_lanes_p2,
+        lane_stride,
+        to_lanes_p2,
+    )
+
+    rs = np.random.RandomState(9)
+    x = jnp.asarray(rs.rand(2, 21, 130, 16).astype(np.float32))
+    w = jnp.asarray(rs.rand(3, 3, 16, 16).astype(np.float32) * 0.1)
+    b = jnp.asarray(rs.rand(16, 1).astype(np.float32) - 0.5)
+    ko = jnp.asarray(rs.rand(16, 2).astype(np.float32) - 0.5)
+    bo = jnp.asarray(rs.rand(2).astype(np.float32))
+    one = jnp.ones((16, 1), np.float32)
+    stride = lane_stride(65)
+    xl = to_lanes_p2(x)
+
+    ll = conv3x3_head_phase2(xl, w, b, ko, bo, stride, interpret=True)
+    got = from_lanes_p2(ll, 2, 128)
+
+    y = conv3x3_phase2(xl, w, one, b, stride, interpret=True,
+                       unit_scale=True)
+    y_nhwc = from_lanes_p2(y, 2, 128)
+    want = jnp.einsum("bhwc,cn->bhwn", y_nhwc, ko) + bo
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_dec_tail_fused_matches_chain():
+    """dec_tail_phase2 == dec_conv0_phase2 -> conv3x3_phase2 -> 1x1 head."""
+    from unetseg_tpu.ops.pallas.conv3x3 import (
+        conv3x3_phase2,
+        dec_conv0_phase2,
+        dec_tail_phase2,
+        from_lanes_p2,
+        lane_stride,
+        to_lanes_p2,
+    )
+
+    rs = np.random.RandomState(10)
+    # skip 2x larger than up with an even crop offset (U-Net dec geometry)
+    hs, hu = 36, 28
+    x_s = jnp.asarray(rs.rand(2, hs, hs, 8).astype(np.float32))
+    x_u = jnp.asarray(rs.rand(2, hu, hu, 8).astype(np.float32))
+    w0 = jnp.asarray(rs.rand(3, 3, 16, 16).astype(np.float32) * 0.1)
+    b0 = jnp.asarray(rs.rand(16, 1).astype(np.float32) - 0.5)
+    w1 = jnp.asarray(rs.rand(3, 3, 16, 16).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rs.rand(16, 1).astype(np.float32) - 0.5)
+    ko = jnp.asarray(rs.rand(16, 2).astype(np.float32) - 0.5)
+    bo = jnp.asarray(rs.rand(2).astype(np.float32))
+    one = jnp.ones((16, 1), np.float32)
+    stride = lane_stride(-(-hs // 2))
+    sl = to_lanes_p2(x_s)
+    ul = jnp.pad(to_lanes_p2(x_u), ((0, 0), (0, 0), (0, 0)))
+    # match lane strides: re-lay the up tensor at the skip's stride
+    ul = to_lanes_p2(jnp.pad(x_u, ((0, 0), (0, 0), (0, 2 * stride - hu), (0, 0)))[:, :, : 2 * stride])
+    row_off = (hs - hu) // 2
+
+    got_l = dec_tail_phase2(sl, ul, w0, b0, w1, b1, ko, bo, stride,
+                            out_rows=hu - 4, row_off=row_off,
+                            lane_off=row_off // 2, interpret=True)
+    got = from_lanes_p2(got_l, 2, hu - 4)
+
+    y = dec_conv0_phase2(sl, ul, w0, one, b0, stride, out_rows=hu - 2,
+                         row_off=row_off, lane_off=row_off // 2,
+                         interpret=True, raw_rows=True, unit_scale=True)
+    y = conv3x3_phase2(y, w1, one, b1, stride, interpret=True,
+                       h_valid=hu - 2, unit_scale=True)
+    y_nhwc = from_lanes_p2(y, 2, hu - 4)
+    want = jnp.einsum("bhwc,cn->bhwn", y_nhwc, ko) + bo
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -153,3 +153,20 @@ def test_tier2_parity_stride256():
         fvars["params"], x, cfg, interpret=True, tier2=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+def test_tier1_fused_enc0_and_dec_tail_match_folded_unet():
+    """The fused enc0 (stem+conv1+pool one kernel) and dec-tail fusion
+    granularities all reproduce FoldedUNet."""
+    cfg, fmodel, fvars = _folded_tiny()
+    x = jnp.asarray(
+        np.random.RandomState(3).rand(2, 188, 188, 1).astype(np.float32)
+    )
+    ref = fmodel.apply(fvars, x)
+    for dec_fuse in ("tail", "head"):
+        got = folded_forward_tier1(
+            fvars["params"], x, cfg, interpret=True,
+            fused_enc0=True, dec_fuse=dec_fuse,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-4)

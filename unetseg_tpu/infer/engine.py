@@ -114,6 +114,11 @@ class Predictor:
                 # transposes in conv-adjacent layout copies plus an
                 # unfusable W pad at the up3 entry. Kept opt-in.
                 want_hcnw = os.environ.get("UNETSEG_MID_HCNW", "0") == "1"
+                # Fused enc0 (stem+conv1+pool one kernel) and dec-tail
+                # granularity ("tail" = conv0+conv1+head one kernel,
+                # "head", "none") — opt-in until measured on hardware.
+                want_fe0 = os.environ.get("UNETSEG_FUSED_ENC0", "0") == "1"
+                dec_fuse = os.environ.get("UNETSEG_DEC_FUSE", "none")
 
                 def apply_fn(v, x):
                     if x.shape[1] == x.shape[2] and supports(cfg, x.shape[1]):
@@ -121,6 +126,7 @@ class Predictor:
                         return folded_forward_tier1(
                             v["params"], x, cfg, tier2=t2,
                             mid_hcnw=want_hcnw and not t2,
+                            fused_enc0=want_fe0, dec_fuse=dec_fuse,
                         )
                     return base_apply(v, x)
         else:

@@ -36,10 +36,13 @@ from unetseg_tpu.core.config import ModelConfig
 from unetseg_tpu.models.shapes import unet_shapes
 from unetseg_tpu.models.unet import center_crop_nhwc
 from unetseg_tpu.ops.pallas.conv3x3 import (
+    conv3x3_head_phase2,
     conv3x3_lanes,
     conv3x3_phase2,
     dec_conv0_lanes,
     dec_conv0_phase2,
+    dec_tail_phase2,
+    enc0_fused_phase2,
     from_lanes,
     from_lanes_p2,
     from_lanes_sparse2,
@@ -230,6 +233,8 @@ def folded_forward_tier1(
     tier2: bool = False,
     mid_hcnw: bool = False,
     fuse_dec_entry: bool = True,
+    fused_enc0: bool = False,
+    dec_fuse: str = "none",
 ) -> jnp.ndarray:
     """(B, S, S, 1) -> (B, s', s', num_classes) f32 logits; `params` is the
     folded tree from infer/folding.fold_batchnorm.
@@ -268,7 +273,10 @@ def folded_forward_tier1(
     # slack); downstream kernels run the valid-rows protocol (raw_rows) —
     # jnp.pad/slice between kernels are full-tensor copies, ~2.5 ms each at
     # bench shapes (profiled), so garbage tail rows flow through instead.
-    need0 = (-(-(s - 2) // 8) - 1) * 8 + 10
+    if fused_enc0:
+        need0 = (-(-(s - 4) // 8) - 1) * 8 + 12
+    else:
+        need0 = (-(-(s - 2) // 8) - 1) * 8 + 10
     xp = x.astype(dtype)
     if need0 > s:
         xp = jnp.pad(xp, ((0, 0), (0, need0 - s), (0, 0), (0, 0)))
@@ -278,15 +286,22 @@ def folded_forward_tier1(
     xl = to_lanes_p2(xp)
     if xl.shape[-1] != b * st0:  # width pad in to_lanes_p2 keeps stride
         raise ValueError("stride mismatch in ingest")
-    h = conv3x3_phase2(
-        xl, k0, one(f0), b0, st0, interpret=interpret,
-        h_valid=s, raw_rows=True,
-    )
     k1, b1 = cb(params["enc0"]["conv1"])
-    skip0, pooled = conv3x3_phase2(
-        h, k1, one(f0), b1, st0, interpret=interpret, fuse_pool=True,
-        h_valid=s - 2, raw_rows=True,
-    )
+    if fused_enc0:
+        # stem + conv1 + pool in ONE kernel: the stem intermediate stays in
+        # VMEM instead of a ~1 GB HBM round-trip at the bench geometry
+        skip0, pooled = enc0_fused_phase2(
+            xl, k0, b0, k1, b1, st0, h_valid=s, interpret=interpret,
+        )
+    else:
+        h = conv3x3_phase2(
+            xl, k0, one(f0), b0, st0, interpret=interpret,
+            h_valid=s, raw_rows=True, unit_scale=True,
+        )
+        skip0, pooled = conv3x3_phase2(
+            h, k1, one(f0), b1, st0, interpret=interpret, fuse_pool=True,
+            h_valid=s - 2, raw_rows=True, unit_scale=True,
+        )
     wp0 = (s - 4) // 2
 
     # ---- middle in HCNW: free reshape of the pooled lanes tensor ----
@@ -295,7 +310,7 @@ def folded_forward_tier1(
         tconv_hv = 0
         return _dec3_head(
             params, tl, skip0, sh, f0, st0, tconv_hv, model_cfg, b,
-            interpret,
+            interpret, fuse=dec_fuse,
         )
 
     # ---- encoder level 1 (tier 2): dense lanes on the pooled tensor ----
@@ -378,14 +393,17 @@ def folded_forward_tier1(
             tl = to_lanes(xm)
         tconv_hv = 0
     return _dec3_head(
-        params, tl, skip0, sh, f0, st0, tconv_hv, model_cfg, b, interpret
+        params, tl, skip0, sh, f0, st0, tconv_hv, model_cfg, b, interpret,
+        fuse=dec_fuse,
     )
 
 
 def _dec3_head(params, tl, skip0, sh, f0, st0, tconv_hv, model_cfg, b,
-               interpret):
+               interpret, fuse="none"):
     """up3 tconv -> dec3 (skip crop folded into DMA) -> 1x1 head, all in
-    lanes; shared by the NHWC, HCNW, and tier-2 middles."""
+    lanes; shared by the NHWC, HCNW, and tier-2 middles. `fuse` selects the
+    tail granularity: "tail" = conv0+conv1+head one kernel, "head" =
+    conv1+head fused, "none" = the three-kernel chain."""
     dtype = tl.dtype
     dlast = model_cfg.levels - 2  # dec3 for 5 levels
     up_w = sh.crops[-1]
@@ -402,20 +420,38 @@ def _dec3_head(params, tl, skip0, sh, f0, st0, tconv_hv, model_cfg, b,
 
     row_off = (sh.encoder[0] - up_w) // 2
     kd0, bd0 = cb(params[f"dec{dlast}"]["conv0"])
+    kd1, bd1 = cb(params[f"dec{dlast}"]["conv1"])
+    ko = params["outc"]["kernel"].reshape(f0, -1)
+    bo = params["outc"]["bias"]
+    if fuse == "tail":
+        ll = dec_tail_phase2(
+            skip0, up_l, kd0, bd0, kd1, bd1, ko, bo, st0,
+            out_rows=sh.output_size, row_off=row_off,
+            lane_off=row_off // 2, raw_rows=True, interpret=interpret,
+        )[: sh.output_size]
+        return from_lanes_p2(ll, b, sh.output_size)
+
     y = dec_conv0_phase2(
         skip0, up_l, kd0, one_f0, bd0, st0,
         out_rows=up_w - 2, row_off=row_off, lane_off=row_off // 2,
-        interpret=interpret, raw_rows=True,
+        interpret=interpret, raw_rows=True, unit_scale=True,
     )
-    kd1, bd1 = cb(params[f"dec{dlast}"]["conv1"])
+    if fuse == "head":
+        # dec3 conv1 + 1x1 head in ONE kernel: the final f0-channel
+        # activation never reaches HBM (~1.6 GB of traffic at the bench
+        # geometry), only the f32 logits do
+        ll = conv3x3_head_phase2(
+            y, kd1, bd1, ko, bo, st0, h_valid=up_w - 2,
+            raw_rows=True, interpret=interpret,
+        )[: sh.output_size]
+        return from_lanes_p2(ll, b, sh.output_size)
+
     y = conv3x3_phase2(
         y, kd1, one_f0, bd1, st0, interpret=interpret,
-        h_valid=up_w - 2, raw_rows=True,
+        h_valid=up_w - 2, raw_rows=True, unit_scale=True,
     )
 
     # ---- 1x1 head in lanes (bf16 operands, f32 accumulation) ----
-    ko = params["outc"]["kernel"].reshape(f0, -1)
-    bo = params["outc"]["bias"]
     logits = []
     for p in range(2):
         yp = y[:, p * f0 : (p + 1) * f0, :]

@@ -68,7 +68,7 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
 
 def _kernel_v2(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
                *, relu, lb, ci, co, rows, nby, nbl, segs=3, pool_ref=None,
-               seg_shifts=None, pool_dense=False):
+               seg_shifts=None, pool_dense=False, unit_scale=False):
     """Pipelined variant: double-buffered window DMA across grid steps,
     `rows` output rows per MXU dot, `segs` lane-tap segments.
 
@@ -132,7 +132,9 @@ def _kernel_v2(x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
                     # pre-zeroed tail lanes (right, backward pass)
                     seg = pltpu.roll(seg, lb - sh, 1)
                 acc = seg if acc is None else acc + seg
-            acc = acc * s_ref[:] + b_ref[:]
+            # unit_scale: folded-BN inference passes scale==1 — skip the
+            # per-row VPU multiply (the affine already lives in kernel+bias)
+            acc = acc + b_ref[:] if unit_scale else acc * s_ref[:] + b_ref[:]
             if relu:
                 acc = jnp.maximum(acc, 0.0)
             out_ref[r + p] = acc.astype(out_ref.dtype)
@@ -370,12 +372,12 @@ def pack_w_phase2(w_hwio: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("item_stride", "relu", "interpret", "fuse_pool",
-                     "h_valid", "raw_rows"),
+                     "h_valid", "raw_rows", "unit_scale"),
 )
 def conv3x3_phase2(x, w_hwio, scale, bias, item_stride: int,
                    relu: bool = True, interpret: bool = False,
                    fuse_pool: bool = False, h_valid: int = 0,
-                   raw_rows: bool = False):
+                   raw_rows: bool = False, unit_scale: bool = False):
     """Fused 3x3 VALID conv (+ affine + ReLU) in the 2-phase lanes layout.
 
     x: (H, 2*CI, L) phase-stacked (see to_lanes_p2); scale/bias (CO, 1).
@@ -420,6 +422,7 @@ def conv3x3_phase2(x, w_hwio, scale, bias, item_stride: int,
                 x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
                 relu=relu, lb=lb, ci=ci2, co=2 * co, rows=1,
                 nby=nby, nbl=nbl, segs=2, pool_ref=pool_ref,
+                unit_scale=unit_scale,
             )
 
         out, pooled = pl.pallas_call(
@@ -462,7 +465,7 @@ def conv3x3_phase2(x, w_hwio, scale, bias, item_stride: int,
         _kernel_v2(
             x_ref, w_ref, s_ref, b_ref, out_ref, win_ref, sem,
             relu=relu, lb=lb, ci=ci2, co=2 * co, rows=1,
-            nby=nby, nbl=nbl, segs=2,
+            nby=nby, nbl=nbl, segs=2, unit_scale=unit_scale,
         )
 
     out = pl.pallas_call(
@@ -483,6 +486,245 @@ def conv3x3_phase2(x, w_hwio, scale, bias, item_stride: int,
         interpret=interpret,
     )(x, w_all, s2, b2)
     return out if raw_rows else out[:ho]
+
+
+WIN2 = TH + 4     # input rows per fused enc0 window (two chained 3x3s)
+
+
+def _kernel_conv_head(x_ref, w_ref, b_ref, kh_ref, bh_ref, out_ref,
+                      win_ref, sem, *, lb, ci2, co2, nco2, nby, nbl):
+    """conv3x3 (2-phase) + fused 1x1 head: the conv activation never
+    reaches HBM — each row's post-ReLU acc feeds a tiny block-diagonal
+    head dot ((2*nc, CO2) @ (CO2, lb)) whose logits are the only output
+    (~16x smaller than the activation at the bench head)."""
+    by = pl.program_id(0)
+    bl = pl.program_id(1)
+    step = by * nbl + bl
+
+    def dma(slot, stp):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds((stp // nbl) * TH, WIN), :,
+                     pl.ds((stp % nbl) * lb, lb)],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(step + 1 < nby * nbl)
+    def _():
+        dma((step + 1) % 2, step + 1).start()
+
+    dma(step % 2, step).wait()
+    win = win_ref.at[step % 2]
+
+    co = co2 // 2
+    for r in range(TH):
+        x3 = win[r : r + 3].reshape(3 * ci2, lb)
+        y = jnp.dot(w_ref[:], x3, preferred_element_type=jnp.float32)
+        acc = y[:co2] + pltpu.roll(y[co2:], lb - 1, 1)
+        acc = jnp.maximum(acc + b_ref[:], 0.0)
+        # head dot on the compute-dtype-rounded activation (matches the
+        # unfused path, which stores the activation in bf16 before the 1x1)
+        h = jnp.dot(kh_ref[:], acc.astype(win.dtype),
+                    preferred_element_type=jnp.float32)
+        out_ref[r] = (h + bh_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("item_stride", "h_valid", "raw_rows",
+                              "interpret"),
+)
+def conv3x3_head_phase2(x, w_hwio, bias, k_head, b_head, item_stride: int,
+                        h_valid: int = 0, raw_rows: bool = False,
+                        interpret: bool = False):
+    """Last decoder conv + 1x1 classifier head as ONE kernel (2-phase).
+
+    x: (H, 2*CI, L); w_hwio: (3, 3, CI, CO); bias: (CO, 1) f32;
+    k_head: (CO, NC) 1x1 kernel; b_head: (NC,) f32. Returns f32 logits
+    (H-2 padded, 2*NC, L) in the 2-phase layout (from_lanes_p2 applies).
+
+    reference: models/unet_model.py:68-71 (OutConv) fused into the final
+    DoubleConv's second conv."""
+    h, ci2, lanes = x.shape
+    ci = ci2 // 2
+    co = w_hwio.shape[3]
+    nc = k_head.shape[1]
+    hv = h_valid or h
+    ho = hv - 2
+    nby = -(-ho // TH)
+    h_pad = (nby - 1) * TH + WIN
+    if h_pad > h:
+        x = jnp.pad(x, ((0, h_pad - h), (0, 0), (0, 0)))
+    isz = x.dtype.itemsize
+    bpl = (2 * WIN * ci2) * isz + 2 * TH * 2 * nc * 4 + 3 * 2 * co * 4
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
+    nbl = lanes // lb
+
+    w_all = pack_w_phase2(w_hwio.astype(x.dtype))
+    b2 = jnp.concatenate([bias, bias], axis=0)
+    # block-diagonal head: one (2*NC, 2*CO) dot covers both phases
+    khT = k_head.astype(x.dtype).T  # (NC, CO)
+    z = jnp.zeros_like(khT)
+    kh = jnp.concatenate(
+        [jnp.concatenate([khT, z], axis=1),
+         jnp.concatenate([z, khT], axis=1)], axis=0,
+    )  # (2*NC, 2*CO)
+    bh = jnp.tile(b_head.reshape(-1), 2).reshape(2 * nc, 1)
+    spare = TH if raw_rows else 0
+    kernel = functools.partial(
+        _kernel_conv_head, lb=lb, ci2=ci2, co2=2 * co, nco2=2 * nc,
+        nby=nby, nbl=nbl,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nby, nbl),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(
+            (TH, 2 * nc, lb), lambda by, bl: (by, 0, bl),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (nby * TH + spare, 2 * nc, lanes), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN, ci2, lb), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, w_all, b2, kh, bh)
+    return out if raw_rows else out[:ho]
+
+
+def _kernel_enc0_fused(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, out_ref,
+                       pool_ref, win_ref, hbuf_ref, sem, *, lb, ci2_in,
+                       co0, nby, nbl):
+    """Fused stem + enc0 conv1 + 2x2 pool in the 2-phase lanes layout.
+
+    The chained kernels round-trip the stem output through HBM (~1.07 GB
+    written + read again at the bench geometry); here it lives in a VMEM
+    scratch: each grid step DMAs TH+4 input rows, computes TH+2 stem rows
+    into `hbuf`, then TH conv1 rows (+ fused pool) from `hbuf`. Adjacent
+    steps recompute 2 stem rows (25% stem overhead — the stem dot is K=24,
+    noise next to the conv1 dots). Roll garbage propagates one extra lane
+    column per conv exactly as in the chained form, so valid-width algebra
+    is unchanged."""
+    by = pl.program_id(0)
+    bl = pl.program_id(1)
+    step = by * nbl + bl
+    co2 = 2 * co0
+
+    def dma(slot, stp):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds((stp // nbl) * TH, WIN2), :,
+                     pl.ds((stp % nbl) * lb, lb)],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(step + 1 < nby * nbl)
+    def _():
+        dma((step + 1) % 2, step + 1).start()
+
+    dma(step % 2, step).wait()
+    win = win_ref.at[step % 2]
+
+    for r in range(WIN):  # TH + 2 stem rows
+        x3 = win[r : r + 3].reshape(3 * ci2_in, lb)
+        y = jnp.dot(w0_ref[:], x3, preferred_element_type=jnp.float32)
+        acc = y[:co2] + pltpu.roll(y[co2:], lb - 1, 1)
+        acc = jnp.maximum(acc + b0_ref[:], 0.0)
+        hbuf_ref[r] = acc.astype(hbuf_ref.dtype)
+
+    prev = None
+    for r in range(TH):
+        x3 = hbuf_ref[r : r + 3].reshape(3 * co2, lb)
+        y = jnp.dot(w1_ref[:], x3, preferred_element_type=jnp.float32)
+        acc = y[:co2] + pltpu.roll(y[co2:], lb - 1, 1)
+        acc = jnp.maximum(acc + b1_ref[:], 0.0)
+        out_ref[r] = acc.astype(out_ref.dtype)
+        m = jnp.maximum(acc[:co0], acc[co0:])  # phase pair
+        if r % 2 == 0:
+            prev = m
+        else:
+            pool_ref[r // 2] = jnp.maximum(prev, m).astype(pool_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("item_stride", "h_valid", "interpret")
+)
+def enc0_fused_phase2(x, w0_hwio, b0, w1_hwio, b1, item_stride: int,
+                      h_valid: int = 0, interpret: bool = False):
+    """Stem conv + enc0 conv1 + fused 2x2 pool as ONE kernel (2-phase lanes).
+
+    x: (H, 2*CI0, L) phase-stacked ingest (CI0 the padded stem channels);
+    w0_hwio: (3, 3, CI0, F), w1_hwio: (3, 3, F, F); b0/b1: (F, 1) f32.
+    Always raw_rows: returns (skip, pooled) with one spare TH block of
+    garbage tail rows each, skip (nby*TH+TH, 2*F, L) and pooled
+    (nby*TH//2+TH, F, L) — the tier-1 ingest protocol (see conv3x3_phase2).
+
+    reference: models/unet_model.py:73-77 (inc DoubleConv + first pool)."""
+    h, ci2_in, lanes = x.shape
+    co0 = w0_hwio.shape[3]
+    hv = h_valid or h
+    ho = hv - 4
+    nby = -(-ho // TH)
+    need = (nby - 1) * TH + WIN2
+    if need > h:
+        x = jnp.pad(x, ((0, need - h), (0, 0), (0, 0)))
+    isz = x.dtype.itemsize
+    bpl = (2 * WIN2 * ci2_in + WIN * 2 * co0 + 2 * TH * 2 * co0
+           + (TH // 2) * co0) * isz + 4 * 2 * co0 * 4
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
+    nbl = lanes // lb
+
+    w0 = pack_w_phase2(w0_hwio.astype(x.dtype))
+    w1 = pack_w_phase2(w1_hwio.astype(x.dtype))
+    b02 = jnp.concatenate([b0, b0], axis=0)
+    b12 = jnp.concatenate([b1, b1], axis=0)
+    kernel = functools.partial(
+        _kernel_enc0_fused, lb=lb, ci2_in=ci2_in, co0=co0, nby=nby, nbl=nbl
+    )
+    out, pooled = pl.pallas_call(
+        kernel,
+        grid=(nby, nbl),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (TH, 2 * co0, lb), lambda by, bl: (by, 0, bl),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TH // 2, co0, lb), lambda by, bl: (by, 0, bl),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nby * TH + TH, 2 * co0, lanes), x.dtype),
+            # full spare TH block on the pooled tensor (see conv3x3_phase2)
+            jax.ShapeDtypeStruct((nby * TH // 2 + TH, co0, lanes), x.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN2, ci2_in, lb), x.dtype),
+            pltpu.VMEM((WIN, 2 * co0, lb), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, w0, b02, w1, b12)
+    return out, pooled
 
 
 def _kernel_tconv(x_ref, w_ref, b_ref, out_ref, win_ref, sem,
@@ -587,7 +829,7 @@ def tconv2x2_phase2(x, w_hwio, bias, item_stride: int,
 
 def _kernel_dec0(skip_ref, up_ref, ws_ref, wu_ref, s_ref, b_ref, out_ref,
                  wins_ref, winu_ref, sems, *, relu, lb, cis2, ciu2, co2,
-                 nby, nbl, row_off, lane_off):
+                 nby, nbl, row_off, lane_off, unit_scale=False):
     """Decoder-entry conv: 3x3 VALID over concat(center-cropped skip, up),
     both in the 2-phase lanes layout, WITHOUT materializing the crop or the
     concat. The skip's center-crop becomes a static DMA row offset plus
@@ -598,14 +840,12 @@ def _kernel_dec0(skip_ref, up_ref, ws_ref, wu_ref, s_ref, b_ref, out_ref,
     bl = pl.program_id(1)
     step = by * nbl + bl
 
-    def dma_skip(stp):
-        # single-buffered: issued at step start, waited right before use —
-        # halves the scratch bill so the lane block can double
+    def dma_skip(slot, stp):
         return pltpu.make_async_copy(
             skip_ref.at[pl.ds(row_off + (stp // nbl) * TH, WIN), :,
                         pl.ds((stp % nbl) * lb, lb)],
-            wins_ref,
-            sems.at[0, 0],
+            wins_ref.at[slot],
+            sems.at[0, slot],
         )
 
     def dma_up(slot, stp):
@@ -616,19 +856,19 @@ def _kernel_dec0(skip_ref, up_ref, ws_ref, wu_ref, s_ref, b_ref, out_ref,
             sems.at[1, slot],
         )
 
-    dma_skip(step).start()
-
     @pl.when(step == 0)
     def _():
         dma_up(0, 0).start()
+        dma_skip(0, 0).start()
 
     @pl.when(step + 1 < nby * nbl)
     def _():
         dma_up((step + 1) % 2, step + 1).start()
+        dma_skip((step + 1) % 2, step + 1).start()
 
     dma_up(step % 2, step).wait()
-    dma_skip(step).wait()
-    wins = wins_ref
+    dma_skip(step % 2, step).wait()
+    wins = wins_ref.at[step % 2]
     winu = winu_ref.at[step % 2]
 
     for r in range(TH):
@@ -639,7 +879,7 @@ def _kernel_dec0(skip_ref, up_ref, ws_ref, wu_ref, s_ref, b_ref, out_ref,
         acc = yu[:co2] + pltpu.roll(yu[co2:], lb - 1, 1)
         acc = acc + pltpu.roll(ys[:co2], lb - lane_off, 1)
         acc = acc + pltpu.roll(ys[co2:], lb - lane_off - 1, 1)
-        acc = acc * s_ref[:] + b_ref[:]
+        acc = acc + b_ref[:] if unit_scale else acc * s_ref[:] + b_ref[:]
         if relu:
             acc = jnp.maximum(acc, 0.0)
         out_ref[r] = acc.astype(out_ref.dtype)
@@ -648,12 +888,12 @@ def _kernel_dec0(skip_ref, up_ref, ws_ref, wu_ref, s_ref, b_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("item_stride", "out_rows", "row_off", "lane_off",
-                     "relu", "interpret", "raw_rows"),
+                     "relu", "interpret", "raw_rows", "unit_scale"),
 )
 def dec_conv0_phase2(skip, up, w_hwio, scale, bias, item_stride: int,
                      out_rows: int, row_off: int, lane_off: int,
                      relu: bool = True, interpret: bool = False,
-                     raw_rows: bool = False):
+                     raw_rows: bool = False, unit_scale: bool = False):
     """First decoder conv of a block: conv3x3(concat(crop(skip), up)).
 
     skip: (H_s, 2*CI_s, L) 2-phase; up: (H_u, 2*CI_u, L) 2-phase, same L.
@@ -674,7 +914,9 @@ def dec_conv0_phase2(skip, up, w_hwio, scale, bias, item_stride: int,
     if need_u > h_u:
         up = jnp.pad(up, ((0, need_u - h_u), (0, 0), (0, 0)))
     isz = up.dtype.itemsize
-    bpl = (WIN * cis2 + 2 * WIN * ciu2 + 2 * TH * 2 * co) * isz + 2 * 2 * 2 * co * 4
+    # both windows double-buffered (the skip read used to serialize with
+    # compute; at the 384-lane item stride the lane block stays 768)
+    bpl = (2 * WIN * cis2 + 2 * WIN * ciu2 + 2 * TH * 2 * co) * isz + 2 * 2 * 2 * co * 4
     lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
     nbl = lanes // lb
 
@@ -687,6 +929,7 @@ def dec_conv0_phase2(skip, up, w_hwio, scale, bias, item_stride: int,
     kernel = functools.partial(
         _kernel_dec0, relu=relu, lb=lb, cis2=cis2, ciu2=ciu2, co2=2 * co,
         nby=nby, nbl=nbl, row_off=row_off, lane_off=lane_off,
+        unit_scale=unit_scale,
     )
     out = pl.pallas_call(
         kernel,
@@ -699,12 +942,158 @@ def dec_conv0_phase2(skip, up, w_hwio, scale, bias, item_stride: int,
         ),
         out_shape=jax.ShapeDtypeStruct((nby * TH + spare, 2 * co, lanes), dtype),
         scratch_shapes=[
-            pltpu.VMEM((WIN, cis2, lb), dtype),
+            pltpu.VMEM((2, WIN, cis2, lb), dtype),
             pltpu.VMEM((2, WIN, ciu2, lb), dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(skip, up, w_s, w_u, s2, b2)
+    return out if raw_rows else out[:out_rows]
+
+
+def _kernel_dec_tail(skip_ref, up_ref, ws_ref, wu_ref, b0_ref, w1_ref,
+                     b1_ref, kh_ref, bh_ref, out_ref, wins_ref, winu_ref,
+                     hbuf_ref, sems, *, lb, cis2, ciu2, co2, nby, nbl,
+                     row_off, lane_off):
+    """Whole decoder tail — dec conv0 (skip crop folded into DMA offsets +
+    rolls), dec conv1, and the 1x1 head — as ONE kernel. The conv0 output
+    lives in a VMEM scratch (TH+2 rows per grid step, 2 rows recomputed at
+    block seams) and the conv1 activation feeds the head dot in-register,
+    so the only HBM writes are the f32 logits (~16x smaller than either
+    activation)."""
+    by = pl.program_id(0)
+    bl = pl.program_id(1)
+    step = by * nbl + bl
+
+    def dma_skip(slot, stp):
+        return pltpu.make_async_copy(
+            skip_ref.at[pl.ds(row_off + (stp // nbl) * TH, WIN2), :,
+                        pl.ds((stp % nbl) * lb, lb)],
+            wins_ref.at[slot],
+            sems.at[0, slot],
+        )
+
+    def dma_up(slot, stp):
+        return pltpu.make_async_copy(
+            up_ref.at[pl.ds((stp // nbl) * TH, WIN2), :,
+                      pl.ds((stp % nbl) * lb, lb)],
+            winu_ref.at[slot],
+            sems.at[1, slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma_up(0, 0).start()
+        dma_skip(0, 0).start()
+
+    @pl.when(step + 1 < nby * nbl)
+    def _():
+        dma_up((step + 1) % 2, step + 1).start()
+        dma_skip((step + 1) % 2, step + 1).start()
+
+    dma_up(step % 2, step).wait()
+    dma_skip(step % 2, step).wait()
+    wins = wins_ref.at[step % 2]
+    winu = winu_ref.at[step % 2]
+
+    sh0 = (lb - lane_off) % lb
+    for r in range(WIN):  # TH + 2 conv0 rows
+        xs = wins[r : r + 3].reshape(3 * cis2, lb)
+        xu = winu[r : r + 3].reshape(3 * ciu2, lb)
+        ys = jnp.dot(ws_ref[:], xs, preferred_element_type=jnp.float32)
+        yu = jnp.dot(wu_ref[:], xu, preferred_element_type=jnp.float32)
+        acc = yu[:co2] + pltpu.roll(yu[co2:], lb - 1, 1)
+        s0 = ys[:co2] if sh0 == 0 else pltpu.roll(ys[:co2], sh0, 1)
+        acc = acc + s0 + pltpu.roll(ys[co2:], lb - lane_off - 1, 1)
+        acc = jnp.maximum(acc + b0_ref[:], 0.0)
+        hbuf_ref[r] = acc.astype(hbuf_ref.dtype)
+
+    for r in range(TH):
+        x3 = hbuf_ref[r : r + 3].reshape(3 * co2, lb)
+        y = jnp.dot(w1_ref[:], x3, preferred_element_type=jnp.float32)
+        acc = y[:co2] + pltpu.roll(y[co2:], lb - 1, 1)
+        acc = jnp.maximum(acc + b1_ref[:], 0.0)
+        h = jnp.dot(kh_ref[:], acc.astype(hbuf_ref.dtype),
+                    preferred_element_type=jnp.float32)
+        out_ref[r] = (h + bh_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("item_stride", "out_rows", "row_off", "lane_off",
+                     "raw_rows", "interpret"),
+)
+def dec_tail_phase2(skip, up, w0_hwio, b0, w1_hwio, b1, k_head, b_head,
+                    item_stride: int, out_rows: int, row_off: int,
+                    lane_off: int, raw_rows: bool = False,
+                    interpret: bool = False):
+    """conv3x3(concat(crop(skip), up)) -> conv3x3 -> 1x1 head, one kernel.
+
+    skip: (H_s, 2*CI_s, L) 2-phase; up: (H_u, 2*CI_u, L) 2-phase, same L.
+    w0_hwio: (3, 3, CI_s + CI_u, CO) (skip channels first), b0: (CO, 1);
+    w1_hwio: (3, 3, CO, CO), b1: (CO, 1); k_head: (CO, NC), b_head: (NC,).
+    out_rows is the conv1 valid-row count; the crop is (row_off,
+    2*lane_off) pixels as in dec_conv0_phase2. Returns f32 logits
+    (out_rows padded [+spare], 2*NC, L).
+
+    reference: models/unet_model.py:23-46 (Up: crop+concat+DoubleConv) +
+    :68-71 (OutConv), the whole decoder tail of the forward."""
+    h_u, ciu2, lanes = up.shape
+    _, cis2, _ = skip.shape
+    cis = cis2 // 2
+    co = w0_hwio.shape[3]
+    nc = k_head.shape[1]
+    nby = -(-out_rows // TH)
+    need_u = (nby - 1) * TH + WIN2
+    if need_u > h_u:
+        up = jnp.pad(up, ((0, need_u - h_u), (0, 0), (0, 0)))
+    need_s = row_off + need_u
+    if need_s > skip.shape[0]:
+        skip = jnp.pad(skip, ((0, need_s - skip.shape[0]), (0, 0), (0, 0)))
+    isz = up.dtype.itemsize
+    bpl = (2 * WIN2 * cis2 + 2 * WIN2 * ciu2 + WIN * 2 * co) * isz \
+        + 2 * TH * 2 * nc * 4 + 4 * 2 * co * 4
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
+    nbl = lanes // lb
+
+    dtype = up.dtype
+    w_s = pack_w_phase2(w0_hwio[:, :, :cis].astype(dtype))
+    w_u = pack_w_phase2(w0_hwio[:, :, cis:].astype(dtype))
+    w_1 = pack_w_phase2(w1_hwio.astype(dtype))
+    b02 = jnp.concatenate([b0, b0], axis=0)
+    b12 = jnp.concatenate([b1, b1], axis=0)
+    khT = k_head.astype(dtype).T
+    z = jnp.zeros_like(khT)
+    kh = jnp.concatenate(
+        [jnp.concatenate([khT, z], axis=1),
+         jnp.concatenate([z, khT], axis=1)], axis=0,
+    )
+    bh = jnp.tile(b_head.reshape(-1), 2).reshape(2 * nc, 1)
+    spare = TH if raw_rows else 0
+    kernel = functools.partial(
+        _kernel_dec_tail, lb=lb, cis2=cis2, ciu2=ciu2, co2=2 * co,
+        nby=nby, nbl=nbl, row_off=row_off, lane_off=lane_off,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nby, nbl),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec(
+            (TH, 2 * nc, lb), lambda by, bl: (by, 0, bl),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (nby * TH + spare, 2 * nc, lanes), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN2, cis2, lb), dtype),
+            pltpu.VMEM((2, WIN2, ciu2, lb), dtype),
+            pltpu.VMEM((WIN, 2 * co, lb), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(skip, up, w_s, w_u, b02, w_1, b12, kh, bh)
     return out if raw_rows else out[:out_rows]
 
 
