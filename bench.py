@@ -132,8 +132,10 @@ def main() -> int:
         and os.environ.get("UNETSEG_LANES_TIER2", "0") == "1"
         and supports_tier2(ModelConfig(), tile_in)
     )
+    # Decoder-tail fusion: "head" default (68.2 vs 67.3 MPix/s r4 A/B);
+    # "tail" mega-kernel and fused enc0 measured slower/wash, opt-in.
     fe0 = os.environ.get("UNETSEG_FUSED_ENC0", "0") == "1"
-    dec_fuse = os.environ.get("UNETSEG_DEC_FUSE", "none")
+    dec_fuse = os.environ.get("UNETSEG_DEC_FUSE", "head")
     if use_lanes:
         apply_fn = lambda fv, x: folded_forward_tier1(
             fv["params"], x, ModelConfig(), tier2=use_t2,

@@ -114,11 +114,15 @@ class Predictor:
                 # transposes in conv-adjacent layout copies plus an
                 # unfusable W pad at the up3 entry. Kept opt-in.
                 want_hcnw = os.environ.get("UNETSEG_MID_HCNW", "0") == "1"
-                # Fused enc0 (stem+conv1+pool one kernel) and dec-tail
-                # granularity ("tail" = conv0+conv1+head one kernel,
-                # "head", "none") — opt-in until measured on hardware.
+                # Decoder-tail fusion granularity, r4 on-chip A/B at the
+                # bench geometry: "head" (dec3 conv1 + 1x1 head one kernel)
+                # 68.2 vs 67.3 MPix/s baseline — DEFAULT; "tail"
+                # (conv0+conv1+head mega-kernel) 64.4, loses the skip-DMA/
+                # compute overlap — opt-in. Fused enc0 (stem+conv1+pool)
+                # measured a wash (67.36 vs 67.33; the stem HBM round-trip
+                # it saves was already hidden under compute) — opt-in.
                 want_fe0 = os.environ.get("UNETSEG_FUSED_ENC0", "0") == "1"
-                dec_fuse = os.environ.get("UNETSEG_DEC_FUSE", "none")
+                dec_fuse = os.environ.get("UNETSEG_DEC_FUSE", "head")
 
                 def apply_fn(v, x):
                     if x.shape[1] == x.shape[2] and supports(cfg, x.shape[1]):
