@@ -169,10 +169,11 @@ def _conv_nhwc(x, k, b, dtype, relu=True):
     return jnp.maximum(y, 0) if relu else y
 
 
-def _block_nhwc(x, p, dtype):
+def _block_nhwc(x, p, dtype, name=""):
     for i in range(2):
         c = p[f"conv{i}"]
-        x = _conv_nhwc(x, c["kernel"], c["bias"], dtype)
+        with jax.named_scope(f"{name}c{i}"):
+            x = _conv_nhwc(x, c["kernel"], c["bias"], dtype)
     return x
 
 
@@ -341,22 +342,27 @@ def folded_forward_tier1(
             xm = jax.lax.reduce_window(
                 xm, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
-        xm = _block_nhwc(xm, params[f"enc{lvl}"], dtype)
+        xm = _block_nhwc(xm, params[f"enc{lvl}"], dtype, name=f"enc{lvl}")
         skips.append(xm)
 
     xm = skips[-1]
     n_dec_nhwc = model_cfg.levels - (3 if tier2 else 2)
     for i in range(n_dec_nhwc):  # dec0..dec2 (dec0..dec1 with tier2)
-        xm = _tconv_nhwc(xm, params[f"up{i}_tconv"], dtype)
+        with jax.named_scope(f"up{i}"):
+            xm = _tconv_nhwc(xm, params[f"up{i}_tconv"], dtype)
         skip = skips[-(i + 2)]
         if fuse_dec_entry:
-            xm = _dec_entry_nhwc(skip, xm, params[f"dec{i}"]["conv0"], dtype)
+            with jax.named_scope(f"dec{i}c0"):
+                xm = _dec_entry_nhwc(
+                    skip, xm, params[f"dec{i}"]["conv0"], dtype
+                )
             c1 = params[f"dec{i}"]["conv1"]
-            xm = _conv_nhwc(xm, c1["kernel"], c1["bias"], dtype)
+            with jax.named_scope(f"dec{i}c1"):
+                xm = _conv_nhwc(xm, c1["kernel"], c1["bias"], dtype)
         else:
             skip_c = center_crop_nhwc(skip, xm.shape[1], xm.shape[2])
             xm = jnp.concatenate([skip_c, xm.astype(dtype)], axis=-1)
-            xm = _block_nhwc(xm, params[f"dec{i}"], dtype)
+            xm = _block_nhwc(xm, params[f"dec{i}"], dtype, name=f"dec{i}")
 
     if tier2:
         # ---- decoder level 1 (tier 2): dense lanes ----
