@@ -87,11 +87,36 @@ def _bn_stats_lanes(z, nch, h_valid, w_valid, item_mask, item_stride,
     return mean, var, n
 
 
+def _use_fused_bn() -> bool:
+    """Fused custom-VJP BN+ReLU (ops/fused_bn.py) — collapses the BN
+    statistics/backward to the minimum pass count (~16.5 ms of loop-fusion
+    traffic in the 45.6 ms no-aug step, docs/PARITY.md). Opt-in
+    (UNETSEG_FUSED_BN=1) until the on-chip A/B beats the autodiff'd
+    composition: the first formulation (f32-materializing backward)
+    measured 48.8 vs 46.2 ms/step."""
+    import os
+
+    return os.environ.get("UNETSEG_FUSED_BN", "0") == "1"
+
+
 def _bn_relu_lanes(z, p_bn, stats, h_valid, w_valid, item_mask, item_stride,
                    momentum, eps, relu=True, axis_name=None):
     """BN (training stats) + ReLU on a lanes tensor; returns the activation
     and the updated running stats {mean, var}."""
     nch = p_bn["scale"].shape[0]
+    if _use_fused_bn():
+        from unetseg_tpu.ops.fused_bn import make_bn_relu_p2
+
+        fn = make_bn_relu_p2(
+            nch, h_valid, w_valid, item_stride, momentum, eps, relu=relu,
+            masked=item_mask is not None, axis_name=axis_name,
+        )
+        im = (item_mask if item_mask is not None
+              else jnp.ones((z.shape[2] // item_stride,), bool))
+        y, nm, nv = fn(
+            z, p_bn["scale"], p_bn["bias"], stats["mean"], stats["var"], im
+        )
+        return y, {"mean": nm, "var": nv}
     # rows past h_valid can be uninitialized memory (raw-rows spare blocks);
     # zero them with a where so NaN can't leak into the scale/mean/var
     # gradients through the full-buffer normalize below (NaN * 0 == NaN)
@@ -159,6 +184,19 @@ def _bn_relu_lanes_dense(z, p_bn, stats, h_valid, w_valid, item_mask,
                          item_stride, momentum, eps, relu=True,
                          axis_name=None):
     """BN (training stats) + ReLU on a DENSE lanes tensor."""
+    if _use_fused_bn():
+        from unetseg_tpu.ops.fused_bn import make_bn_relu_dense
+
+        fn = make_bn_relu_dense(
+            h_valid, w_valid, item_stride, momentum, eps, relu=relu,
+            masked=item_mask is not None, axis_name=axis_name,
+        )
+        im = (item_mask if item_mask is not None
+              else jnp.ones((z.shape[2] // item_stride,), bool))
+        y, nm, nv = fn(
+            z, p_bn["scale"], p_bn["bias"], stats["mean"], stats["var"], im
+        )
+        return y, {"mean": nm, "var": nv}
     # zero garbage tail rows FIRST (raw-rows buffers may hold NaN)
     z = jnp.where((jnp.arange(z.shape[0]) < h_valid)[:, None, None], z, 0)
     mean, var, n = _bn_stats_lanes_dense(
@@ -256,6 +294,19 @@ def _conv_bn_relu_nhwc(x, p_conv, p_bn, stats, item_mask, momentum, eps,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=dtype,
     ) + p_conv["bias"].astype(dtype)
+    if _use_fused_bn():
+        from unetseg_tpu.ops.fused_bn import make_bn_relu_nhwc
+
+        fn = make_bn_relu_nhwc(
+            momentum, eps, masked=item_mask is not None,
+            axis_name=axis_name,
+        )
+        im = (item_mask if item_mask is not None
+              else jnp.ones((y.shape[0],), bool))
+        a, nm, nv = fn(
+            y, p_bn["scale"], p_bn["bias"], stats["mean"], stats["var"], im
+        )
+        return a, {"mean": nm, "var": nv}
     if item_mask is None:
         s = jnp.sum(y, axis=(0, 1, 2), dtype=jnp.float32)
         sq = jnp.sum(jnp.square(y), axis=(0, 1, 2), dtype=jnp.float32)
