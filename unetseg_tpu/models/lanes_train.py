@@ -89,14 +89,18 @@ def _bn_stats_lanes(z, nch, h_valid, w_valid, item_mask, item_stride,
 
 def _use_fused_bn() -> bool:
     """Fused custom-VJP BN+ReLU (ops/fused_bn.py) — collapses the BN
-    statistics/backward to the minimum pass count (~16.5 ms of loop-fusion
-    traffic in the 45.6 ms no-aug step, docs/PARITY.md). Opt-in
-    (UNETSEG_FUSED_BN=1) until the on-chip A/B beats the autodiff'd
-    composition: the first formulation (f32-materializing backward)
-    measured 48.8 vs 46.2 ms/step."""
+    statistics/backward to the minimum pass count (~14 ms of loop-fusion
+    traffic in the 46 ms no-aug step: two 6.27 ms reduce_sums + 1.8 ms
+    select_n). DEFAULT ON since the on-chip interleaved A/B
+    (tools/fused_bn_ab.py): no-aug 41.41 vs 46.23 ms/step, augmented
+    45.79 vs 50.22. Two earlier formulations lost — f32-materializing
+    backward (48.8) and slice-wise phase reductions that blocked XLA's
+    multi-output reduction fusion; the winning form reduces over a free
+    (H, 2, nch, L) reshape. UNETSEG_FUSED_BN=0 restores the autodiff'd
+    composition."""
     import os
 
-    return os.environ.get("UNETSEG_FUSED_BN", "0") == "1"
+    return os.environ.get("UNETSEG_FUSED_BN", "1") == "1"
 
 
 def _bn_relu_lanes(z, p_bn, stats, h_valid, w_valid, item_mask, item_stride,
