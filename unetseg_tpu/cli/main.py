@@ -73,6 +73,15 @@ def _make_predictor(args, cfg: Config, icfg: InferConfig):
         )
     if not args.checkpoint_dir:
         raise SystemExit("error: --checkpoint-dir or --torch-checkpoint required")
+    # comma-separated dirs = deep ensemble (probabilities averaged on device)
+    dirs = [d for d in args.checkpoint_dir.split(",") if d]
+    if len(dirs) > 1:
+        if args.epoch is not None:
+            raise SystemExit("error: --epoch is per-checkpoint; ensemble "
+                             "dirs always load each member's best")
+        return Predictor.from_checkpoints(
+            dirs, model_cfg=_model_cfg(cfg, args), infer_cfg=icfg,
+        )
     return Predictor.from_checkpoint(
         args.checkpoint_dir, model_cfg=_model_cfg(cfg, args), infer_cfg=icfg,
         epoch=args.epoch,
@@ -680,7 +689,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("predict", help="segment a sequence into masks + instances")
     _add_common(sp)
-    sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--checkpoint-dir", default=None,
+                    help="one dir, or comma-separated dirs for a deep "
+                         "ensemble (member probabilities averaged on device)")
     sp.add_argument("--torch-checkpoint", default=None,
                     help="reference-format .pth state dict (migration path)")
     sp.add_argument("--data-root", default=None)

@@ -79,15 +79,36 @@ class Predictor:
         # Variables are passed as jit ARGUMENTS, never closed over: closure
         # capture would inline ~62 MB of weights as compile-time constants
         # (slow remote compiles; once crashed the TPU tunnel backend).
-        if self.fold and self.batch_stats is not None:
+        #
+        # Ensemble: params/batch_stats may be LISTS (one entry per trained
+        # seed). Member variable pytrees are stacked on a leading axis and
+        # the single-net probability program is lax.map'ed over them with an
+        # on-device mean — one trace, one weight upload, activations for one
+        # member at a time. Every downstream path (overlap-tile, TTA,
+        # device-CC, sequence) consumes the averaged _probs_raw unchanged.
+        ensemble = isinstance(self.params, (list, tuple))
+        members = (
+            list(zip(self.params, self.batch_stats))
+            if ensemble
+            else [(self.params, self.batch_stats)]
+        )
+        if self.fold and all(bs is not None for _, bs in members):
             from unetseg_tpu.infer.folding import fold_batchnorm
 
-            fmodel, fvars = fold_batchnorm(
-                self.model.cfg,
-                {"params": self.params, "batch_stats": self.batch_stats},
-                use_packed=self.packed,
+            fmodel = None
+            fvars_all = []
+            for p, bs in members:
+                fmodel, fv = fold_batchnorm(
+                    self.model.cfg,
+                    {"params": p, "batch_stats": bs},
+                    use_packed=self.packed,
+                )
+                fvars_all.append(fv)
+            self._variables = (
+                jax.tree.map(lambda *xs: jnp.stack(xs), *fvars_all)
+                if ensemble
+                else fvars_all[0]
             )
-            self._variables = fvars
             apply_fn = lambda v, x: fmodel.apply(v, x)
             if self._use_lanes_net():
                 # Tier-1 lanes-native forward (infer/lanes_net.py): Pallas
@@ -134,13 +155,17 @@ class Predictor:
                         )
                     return base_apply(v, x)
         else:
-            self._variables = {
-                "params": self.params, "batch_stats": self.batch_stats
-            }
+            dicts = [
+                {"params": p, "batch_stats": bs} for p, bs in members
+            ]
+            self._variables = (
+                jax.tree.map(lambda *xs: jnp.stack(xs), *dicts)
+                if ensemble
+                else dicts[0]
+            )
             apply_fn = lambda v, x: self.model.apply(v, x, train=False)
 
-        @jax.jit
-        def _probs(variables, images: jnp.ndarray) -> jnp.ndarray:
+        def _probs_one(variables, images: jnp.ndarray) -> jnp.ndarray:
             x = images
             if self.cfg.standardize:
                 mu = jnp.mean(x, axis=(-2, -1), keepdims=True)
@@ -154,6 +179,20 @@ class Predictor:
                 # the sequence path splits instances from interior markers
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return binary_probs_from_logits(logits)
+
+        if ensemble:
+
+            @jax.jit
+            def _probs(variables, images: jnp.ndarray) -> jnp.ndarray:
+                # mean of member PROBABILITIES (post-softmax/sigmoid), the
+                # standard deep-ensemble combination
+                return jnp.mean(
+                    jax.lax.map(lambda v: _probs_one(v, images), variables),
+                    axis=0,
+                )
+
+        else:
+            _probs = jax.jit(_probs_one)
 
         self._probs_raw = _probs  # (variables, images) -> probs
         self._probs_fn = lambda images: _probs(self._variables, images)
@@ -449,5 +488,42 @@ class Predictor:
         )
         return cls(
             model=model, params=params, batch_stats=batch_stats,
+            cfg=infer_cfg or InferConfig(), mesh=mesh,
+        )
+
+    @classmethod
+    def from_checkpoints(
+        cls,
+        checkpoint_dirs: List[str],
+        model_cfg: Optional[ModelConfig] = None,
+        infer_cfg: Optional[InferConfig] = None,
+        mesh: Optional[MeshSpec] = None,
+    ) -> "Predictor":
+        """Deep-ensemble predictor over several trained checkpoints (e.g.
+        the per-seed best checkpoints of a multi-seed recipe run): member
+        probabilities are averaged on device. The reference has no ensemble
+        story; this is the natural use for the seeds its training script
+        varies implicitly (reference: scripts/train.py:34 shuffle)."""
+        if len(checkpoint_dirs) == 1:
+            return cls.from_checkpoint(
+                checkpoint_dirs[0], model_cfg=model_cfg,
+                infer_cfg=infer_cfg, mesh=mesh,
+            )
+        from unetseg_tpu.train.checkpoint import restore_params_for_inference
+        from unetseg_tpu.train.state import create_train_state
+
+        model_cfg = model_cfg or ModelConfig()
+        model = UNet(cfg=model_cfg)
+        template = create_train_state(
+            jax.random.key(0), model_cfg=model_cfg,
+            input_size=(infer_cfg or InferConfig()).image_size, model=model,
+        )
+        params, stats = [], []
+        for d in checkpoint_dirs:
+            p, bs = restore_params_for_inference(d, template)
+            params.append(p)
+            stats.append(bs)
+        return cls(
+            model=model, params=params, batch_stats=stats,
             cfg=infer_cfg or InferConfig(), mesh=mesh,
         )
