@@ -36,13 +36,24 @@ def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> jnp.ndarray:
 def blur_band_matrix(size: int, sigma: float, truncate: float = 4.0) -> jnp.ndarray:
     """(size, size) banded matrix B with B[i, j] = gauss(j - i): B @ x blurs a
     length-`size` signal with zero ('constant') boundary — rows near the edge
-    simply truncate, which is exactly scipy's mode='constant', cval=0."""
-    k = gaussian_kernel1d(sigma, truncate)
-    r = (k.shape[0] - 1) // 2
-    i = jnp.arange(size)
+    simply truncate, which is exactly scipy's mode='constant', cval=0.
+
+    Built in numpy on the host: every argument is static, so the matrix is a
+    trace-time constant. Building it with jnp ops instead put a size² gather
+    from the kernel taps INSIDE the train step (too big for XLA's constant
+    folder), measured ~2 ms per augmented step rebuilt every iteration."""
+    import numpy as np
+
+    radius = int(truncate * float(sigma) + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / float(sigma)) ** 2)
+    k = (k / k.sum()).astype(np.float32)
+    r = radius
+    i = np.arange(size)
     d = i[None, :] - i[:, None] + r  # kernel tap index of column j for row i
     valid = (d >= 0) & (d < k.shape[0])
-    return jnp.where(valid, k[jnp.clip(d, 0, k.shape[0] - 1)], 0.0)
+    band = np.where(valid, k[np.clip(d, 0, k.shape[0] - 1)], np.float32(0.0))
+    return jnp.asarray(band, dtype=jnp.float32)
 
 
 def gaussian_blur_2d(
