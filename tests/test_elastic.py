@@ -80,6 +80,22 @@ def test_elastic_deform_actually_moves_pixels():
     assert not np.allclose(np.asarray(out), img)
 
 
+def test_blur_band_matrix_is_trace_time_constant():
+    """The banded blur matrix depends only on static args, so it must enter
+    traced programs as a literal constant — not be rebuilt per call. Built
+    with jnp ops it lowered to a size² gather from the kernel taps inside
+    the train step, re-executed every scanned iteration (~2 ms/step on the
+    chip). Pin that the blur's jaxpr carries no gather/iota/exp — nothing
+    but the two matmuls on a constant."""
+    jaxpr = jax.make_jaxpr(lambda x: gaussian_blur_2d(x, sigma=3.0))(
+        jnp.zeros((40, 50), jnp.float32)
+    )
+    prims = {eqn.primitive.name for eqn in jaxpr.eqns}
+    assert "gather" not in prims and "exp" not in prims, prims
+    # the band matrices arrive as constants
+    assert len(jaxpr.consts) >= 1
+
+
 def test_elastic_deform_batch_per_item_keys():
     rs = np.random.RandomState(3)
     imgs = rs.rand(3, 48, 48).astype(np.float32)
