@@ -92,8 +92,15 @@ def test_blur_band_matrix_is_trace_time_constant():
     )
     prims = {eqn.primitive.name for eqn in jaxpr.eqns}
     assert "gather" not in prims and "exp" not in prims, prims
-    # the band matrices arrive as constants
-    assert len(jaxpr.consts) >= 1
+    # BOTH band matrices arrive as constants — (40,40) for rows, (50,50) for
+    # cols. Anything weaker would let one of the two silently regress to a
+    # rebuilt-per-trace matrix as long as it avoids gather/exp.
+    const_shapes = sorted(tuple(c.shape) for c in jaxpr.consts)
+    assert const_shapes == [(40, 40), (50, 50)], const_shapes
+    # and the only heavy primitives are the two matmuls on those constants
+    heavy = [n for n in prims if n in ("dot_general", "conv_general_dilated")]
+    assert heavy == ["dot_general"], prims
+    assert sum(e.primitive.name == "dot_general" for e in jaxpr.eqns) == 2
 
 
 def test_elastic_deform_batch_per_item_keys():

@@ -24,13 +24,24 @@ import jax
 import jax.numpy as jnp
 
 
-def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> jnp.ndarray:
-    """Discrete Gaussian identical to scipy.ndimage.gaussian_filter1d's
-    (order 0): radius = int(truncate * sigma + 0.5), normalized to sum 1."""
+def _gaussian_kernel1d_np(sigma: float, truncate: float = 4.0):
+    """Host-side (numpy) discrete Gaussian identical to
+    scipy.ndimage.gaussian_filter1d's (order 0): radius =
+    int(truncate * sigma + 0.5), normalized to sum 1. Single source of truth
+    for both the jnp helper and the band matrix so the radius rule /
+    normalization / dtype cannot drift apart."""
+    import numpy as np
+
     radius = int(truncate * float(sigma) + 0.5)
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / float(sigma)) ** 2)
-    return k / jnp.sum(k)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / float(sigma)) ** 2)
+    return (k / k.sum()).astype(np.float32), radius
+
+
+def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> jnp.ndarray:
+    """Device view of the scipy-matched Gaussian (see _gaussian_kernel1d_np)."""
+    k, _ = _gaussian_kernel1d_np(sigma, truncate)
+    return jnp.asarray(k)
 
 
 def blur_band_matrix(size: int, sigma: float, truncate: float = 4.0) -> jnp.ndarray:
@@ -44,11 +55,7 @@ def blur_band_matrix(size: int, sigma: float, truncate: float = 4.0) -> jnp.ndar
     folder), measured ~2 ms per augmented step rebuilt every iteration."""
     import numpy as np
 
-    radius = int(truncate * float(sigma) + 0.5)
-    x = np.arange(-radius, radius + 1, dtype=np.float64)
-    k = np.exp(-0.5 * (x / float(sigma)) ** 2)
-    k = (k / k.sum()).astype(np.float32)
-    r = radius
+    k, r = _gaussian_kernel1d_np(sigma, truncate)
     i = np.arange(size)
     d = i[None, :] - i[:, None] + r  # kernel tap index of column j for row i
     valid = (d >= 0) & (d < k.shape[0])
