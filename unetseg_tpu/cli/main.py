@@ -160,12 +160,31 @@ def cmd_train(args) -> int:
     )
     from unetseg_tpu.train.loop import train
 
+    # Multi-process bootstrap (no-op unless --coordinator/UNETSEG_COORDINATOR
+    # configures it), then a device mesh when >1 device is visible: DP train
+    # over all chips, single-host or pod (core/distributed.py).
+    from unetseg_tpu.core.distributed import maybe_initialize
+
+    maybe_initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    mesh = None
+    want_mesh = args.mesh or "auto"
+    import jax
+
+    if want_mesh == "on" or (want_mesh == "auto" and len(jax.devices()) > 1):
+        from unetseg_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(cfg.mesh)
+
     data = None
     if args.sequences:
         from unetseg_tpu.data.dataset import HeLaArrays
 
         data = HeLaArrays.load_many(cfg.data, args.sequences)
-    result = train(cfg, data=data, max_steps=args.max_steps)
+    result = train(cfg, data=data, mesh=mesh, max_steps=args.max_steps)
     print(
         f"training finished: best val loss {result.best_val_loss:.4f} "
         f"at epoch {result.best_epoch}"
@@ -668,6 +687,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-steps", type=int, default=None)
     sp.add_argument("--classes", type=int, default=None)
     sp.add_argument("--bilinear", action="store_true")
+    sp.add_argument("--mesh", choices=["auto", "on", "off"], default=None,
+                    help="device-mesh DP train: auto (mesh when >1 device), "
+                    "on, or off (default auto)")
+    sp.add_argument("--coordinator", default=None,
+                    help="jax.distributed coordinator address host:port "
+                    "(multi-host; or env UNETSEG_COORDINATOR)")
+    sp.add_argument("--num-processes", dest="num_processes", type=int,
+                    default=None, help="total processes (multi-host)")
+    sp.add_argument("--process-id", dest="process_id", type=int, default=None,
+                    help="this process's id (multi-host)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("infer", help="segment one image")

@@ -226,9 +226,15 @@ def make_lanes_dp_epoch_step(
 
 
 def replicate_state(mesh: MeshSpec, state: TrainState) -> TrainState:
-    return jax.device_put(state, mesh.replicated())
+    # host_put_tree == device_put single-process; multi-host it places only
+    # this process's addressable replicas (core/distributed.py)
+    from unetseg_tpu.core.distributed import host_put_tree
+
+    return host_put_tree(state, mesh.replicated())
 
 
 def shard_batch(mesh: MeshSpec, *arrays):
+    from unetseg_tpu.core.distributed import host_put
+
     sh = mesh.batch_sharding()
-    return tuple(jax.device_put(np.asarray(a), sh) for a in arrays)
+    return tuple(host_put(np.asarray(a), sh) for a in arrays)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
+from unetseg_tpu.core.distributed import is_primary
 from unetseg_tpu.train.state import TrainState
 
 FULL_SUBDIR = "full"
@@ -39,11 +40,22 @@ def _manager(directory: str, keep: int, best: bool = True) -> ocp.CheckpointMana
     inference stream); best=False keeps the k LATEST (the full resume
     stream — retention keyed on val loss there silently dropped newer
     resume points whenever validation worsened)."""
+    kw = {"create": True}
+    if jax.process_count() > 1:
+        # writes are primary-gated (Checkpointer._active); scope Orbax's own
+        # barrier syncs to process 0 too, or its CheckpointManager would
+        # block on a collective the gated processes never join. Orbax then
+        # refuses create=True, so make the root directory here.
+        kw["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
+            primary_host=0, active_processes={0},
+        )
+        kw["create"] = False
+        os.makedirs(os.path.abspath(directory), exist_ok=True)
     options = ocp.CheckpointManagerOptions(
         max_to_keep=keep,
         best_fn=(lambda m: m["val_loss"]) if best else None,
         best_mode="min",
-        create=True,
+        **kw,
     )
     return ocp.CheckpointManager(os.path.abspath(directory), options=options)
 
@@ -153,6 +165,15 @@ class Checkpointer:
     tunnel — see _host_payload). `sync=True` restores inline writes."""
 
     def __init__(self, directory: str, keep: int = 3, sync: bool = False):
+        # Multi-host: state is replicated across processes (DP design), so
+        # process 0 writes alone and the others no-op — without this gate
+        # every pod worker would race on the same checkpoint files
+        # (core/distributed.is_primary; exercised by tests/test_multihost.py).
+        self._active = is_primary()
+        if not self._active:
+            self._sync = True
+            self._error = None
+            return
         self._mgr = _manager(directory, keep)
         self._full = _manager(
             os.path.join(directory, FULL_SUBDIR), keep=1, best=False
@@ -190,6 +211,8 @@ class Checkpointer:
                 self._error = e
 
     def _submit(self, stream, payload, epoch, val_loss, extra) -> None:
+        if not self._active:
+            return
         if self._error is not None:
             err, self._error = self._error, None
             raise RuntimeError("background checkpoint save failed") from err
@@ -232,6 +255,8 @@ class Checkpointer:
         self._submit("full", device_full_payload(state), epoch, val_loss, extra)
 
     def close(self) -> None:
+        if not self._active:
+            return
         if not self._sync:
             self._q.put(None)
             self._worker.join()

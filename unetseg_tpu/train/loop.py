@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 from unetseg_tpu.core.config import Config
+from unetseg_tpu.core.distributed import host_put, host_put_tree
 from unetseg_tpu.core.mesh import MeshSpec
 from unetseg_tpu.data.dataset import (
     HeLaArrays,
@@ -91,7 +92,9 @@ def _put_batch(batch, spec: Optional[MeshSpec]):
     if spec is None:
         return arrays
     sh = spec.batch_sharding()
-    return tuple(jax.device_put(a, sh) for a in arrays)
+    # host_put == device_put single-process; multi-host it materializes only
+    # this process's addressable shards (per-process feed)
+    return tuple(host_put(a, sh) for a in arrays)
 
 
 def train(
@@ -102,7 +105,13 @@ def train(
     max_steps: Optional[int] = None,
 ) -> TrainResult:
     t_cfg, d_cfg, m_cfg = cfg.train, cfg.data, cfg.model
-    logger = logger or MetricsLogger(t_cfg.metrics_jsonl)
+    # multi-host: only process 0 writes the metrics JSONL (same gate as
+    # checkpoints — every process would otherwise append to one file)
+    from unetseg_tpu.core.distributed import is_primary
+
+    logger = logger or MetricsLogger(
+        t_cfg.metrics_jsonl if is_primary() else None
+    )
 
     data = data or HeLaArrays.load(d_cfg)
     n = len(data)
@@ -132,7 +141,9 @@ def train(
             logger.log({"event": "resume", "epoch": start_epoch})
 
     if mesh is not None:
-        state = jax.device_put(state, mesh.replicated())
+        # identical seeds build identical state on every process, so
+        # replication across a multi-host mesh is a pure placement
+        state = host_put_tree(state, mesh.replicated())
 
     three_class = m_cfg.num_classes == 3
     lanes = lanes_active(
@@ -213,10 +224,15 @@ def train(
                 lanes=lanes,
                 **aug_kw,
             )
-        repl = mesh.replicated() if mesh is not None else None
-        dev_images = jax.device_put(data.images, repl)
-        dev_masks = jax.device_put(data.masks, repl)
-        dev_wmaps = jax.device_put(data.weight_maps, repl)
+        if mesh is not None:
+            repl = mesh.replicated()
+            dev_images = host_put(data.images, repl)
+            dev_masks = host_put(data.masks, repl)
+            dev_wmaps = host_put(data.weight_maps, repl)
+        else:
+            dev_images = jax.device_put(data.images)
+            dev_masks = jax.device_put(data.masks)
+            dev_wmaps = jax.device_put(data.weight_maps)
         data_rng = jax.random.key(t_cfg.seed + 1)
         logger.log({"event": "device_data", "bytes": int(
             data.images.nbytes + data.masks.nbytes + data.weight_maps.nbytes
