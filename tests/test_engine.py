@@ -85,6 +85,53 @@ def test_masks_tiled_tta_flips(predictor):
     np.testing.assert_array_equal(m[:, ::-1], m_flipped)
 
 
+def test_merge_tta_probs_semantics():
+    """Unit semantics of every merge mode on hand-built probability sets."""
+    import jax.numpy as jnp
+
+    from unetseg_tpu.infer.tiling import merge_tta_probs
+
+    # 4 transforms; one pixel with a dissenting near-zero vote (a membrane
+    # seen by one flip), one solid-foreground, one solid-background
+    probs = [
+        jnp.asarray([[0.9, 0.8, 0.1]]),
+        jnp.asarray([[0.9, 0.8, 0.1]]),
+        jnp.asarray([[0.9, 0.8, 0.1]]),
+        jnp.asarray([[0.01, 0.8, 0.1]]),
+    ]
+    t = 0.5
+    mean = np.asarray(merge_tta_probs(probs, t, "mean"))[0]
+    gmean = np.asarray(merge_tta_probs(probs, t, "gmean"))[0]
+    vote = np.asarray(merge_tta_probs(probs, t, "vote"))[0]
+    mx = np.asarray(merge_tta_probs(probs, t, "max"))[0]
+    # mean smooths over the dissent: (0.9*3+0.01)/4 = 0.68 > 0.5 -> fg
+    assert mean.tolist() == [1, 1, 0]
+    # gmean respects the near-zero vote: (0.9^3*0.01)^0.25 = 0.29 -> bg
+    assert gmean.tolist() == [0, 1, 0]
+    # vote: 3/4 strict majority -> fg on pixel 0
+    assert vote.tolist() == [1, 1, 0]
+    # max is the union
+    assert mx.tolist() == [1, 1, 0]
+    with pytest.raises(ValueError):
+        merge_tta_probs(probs, t, "median")
+
+
+@pytest.mark.parametrize("merge", ["gmean", "vote", "max"])
+def test_masks_tiled_tta_merge_modes(predictor, merge):
+    """Every merge mode runs through the batched tiled path and stays
+    flip-consistent (the transform set is closed under flips)."""
+    import dataclasses
+
+    pred = dataclasses.replace(predictor, cfg=dataclasses.replace(
+        predictor.cfg, tta="flips", tta_merge=merge
+    ))
+    imgs = np.random.RandomState(6).rand(2, 40, 40).astype(np.float32)
+    m = pred.masks_tiled(imgs)
+    assert m.shape == (2, 40, 40) and set(np.unique(m)) <= {0, 1}
+    m_flipped = pred.masks_tiled(imgs[:, ::-1].copy())
+    np.testing.assert_array_equal(m[:, ::-1], m_flipped)
+
+
 def test_predict_sequence_outputs(predictor, tmp_path):
     seq = tmp_path / "01"
     seq.mkdir()

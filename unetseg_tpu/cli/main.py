@@ -200,7 +200,7 @@ def _infer_overrides(args) -> dict:
     boolean flags use store_const(True), so absent flags stay absent."""
     out = {}
     for name in ("threshold", "min_cell_size", "normalize", "standardize",
-                 "tta"):
+                 "tta", "tta_merge"):
         v = getattr(args, name, None)
         if v is not None:
             out[name] = v
@@ -749,8 +749,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "component's distance maximum")
     sp.add_argument("--tta", choices=["none", "flips"], default=None,
                     help="test-time augmentation for tiled binary "
-                         "prediction: average probabilities over flips "
+                         "prediction: combine probabilities over flips "
                          "(4x device compute)")
+    sp.add_argument("--tta-merge", dest="tta_merge",
+                    choices=["mean", "gmean", "vote", "max"], default=None,
+                    help="how TTA probabilities merge: mean (smooths "
+                         "cell-cell boundaries), gmean (geometric — "
+                         "preserves near-zero membranes), vote (per-flip "
+                         "threshold + strict pixel majority), max (union)")
     sp.add_argument("--resize-output", dest="resize_output", type=int, default=None,
                     help="nearest-resize outputs (e.g. 512 to match GT size)")
     sp.add_argument("--device-cc", dest="device_cc", action="store_true",

@@ -155,10 +155,16 @@ class InferConfig:
     # instance's area and re-flood with the surviving seeds. 0 disables.
     temporal_area_guard: float = 0.3
     # test-time augmentation for tiled binary prediction: "none" | "flips"
-    # (average foreground probabilities over the 4 flip transforms before
+    # (combine foreground probabilities over the 4 flip transforms before
     # thresholding — infer/tiling.TTA_TRANSFORMS). 4x device compute; the
     # reference has no equivalent.
     tta: str = "none"
+    # how TTA probabilities merge (infer/tiling.py): "mean" (arithmetic —
+    # smooths cell-cell boundaries), "gmean" (geometric — a near-zero
+    # boundary probability under any flip keeps the pixel background, so
+    # separating membranes survive), "vote" (per-flip threshold then strict
+    # pixel majority, >half the flips), "max" (union — recall-maximizing).
+    tta_merge: str = "mean"
 
 
 @dataclass(frozen=True)

@@ -278,7 +278,8 @@ class Predictor:
         t_in = tile_input or self.cfg.tile_input
         t_batch = tile_batch or self.cfg.tile_batch
         tta = self.cfg.tta
-        key = ("masks", f, h, w, t_in, t_batch, tta)
+        tta_merge = getattr(self.cfg, "tta_merge", "mean")
+        key = ("masks", f, h, w, t_in, t_batch, tta, tta_merge)
         fn = self._tiled_cache.get(key)
         if fn is None:
             from unetseg_tpu.infer.tiling import make_tiled_mask_batch_fn
@@ -288,6 +289,7 @@ class Predictor:
                 self._probs_raw, grid, n_frames=f,
                 threshold=self.cfg.threshold,
                 tile_batch=t_batch, mesh=self.mesh, tta=tta,
+                tta_merge=tta_merge,
             )
             self._tiled_cache[key] = fn
         return np.asarray(fn(self._variables, jnp.asarray(images, jnp.float32)))

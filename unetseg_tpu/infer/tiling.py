@@ -202,6 +202,7 @@ def make_tiled_mask_batch_fn(
     tile_batch: Optional[int] = None,
     mesh: Optional[MeshSpec] = None,
     tta: str = "none",
+    tta_merge: str = "mean",
 ) -> Callable:
     """Frame-BATCHED tiled binary segmentation as one jit program:
     fn(ctx, images (F, H, W) f32) -> (F, H, W) uint8.
@@ -248,14 +249,45 @@ def make_tiled_mask_batch_fn(
         return jax.vmap(lambda o: stitch(o, grid))(outputs)
 
     def run(ctx, images: jnp.ndarray) -> jnp.ndarray:
-        acc = None
-        for fwd_t, inv_t in transforms:
-            p = inv_t(frame_probs(ctx, fwd_t(images)))
-            acc = p if acc is None else acc + p
-        probs = acc / len(transforms)
-        return (probs > threshold).astype(jnp.uint8)
+        all_p = [
+            inv_t(frame_probs(ctx, fwd_t(images))) for fwd_t, inv_t in transforms
+        ]
+        return merge_tta_probs(all_p, threshold, tta_merge)
 
     return jax.jit(run)
+
+
+def merge_tta_probs(
+    probs: list, threshold: float, merge: str = "mean"
+) -> jnp.ndarray:
+    """Combine per-transform foreground probabilities into a binary mask.
+
+    The arithmetic "mean" smooths the thin low-probability membranes between
+    touching cells (measured: seq-01 SEG 0.87 -> 0.82 with flips+mean,
+    docs/RESULTS.md round-4 TTA table), so alternatives that preserve
+    near-zero boundary evidence are offered:
+
+    - "gmean": geometric mean — one near-zero vote keeps the pixel
+      background, protecting separating membranes;
+    - "vote": threshold each transform independently, keep pixels a strict
+      majority (> half) call foreground — no probability smoothing at all;
+    - "max": union over transforms — recall-maximizing.
+    """
+    n = len(probs)
+    if merge == "mean":
+        p = sum(probs) / n
+        return (p > threshold).astype(jnp.uint8)
+    if merge == "gmean":
+        eps = jnp.float32(1e-7)
+        logp = sum(jnp.log(p + eps) for p in probs) / n
+        return (jnp.exp(logp) > threshold).astype(jnp.uint8)
+    if merge == "vote":
+        votes = sum((p > threshold).astype(jnp.int32) for p in probs)
+        return (votes * 2 > n).astype(jnp.uint8)
+    if merge == "max":
+        p = jnp.stack(probs).max(axis=0)
+        return (p > threshold).astype(jnp.uint8)
+    raise ValueError(f"unknown tta_merge {merge!r}")
 
 
 def tiled_apply(
