@@ -204,7 +204,7 @@ def main() -> int:
         with open(baseline_path) as f:
             vs = mpix / json.load(f)["mpix_per_sec"]
 
-    print(json.dumps({
+    record = {
         "metric": (
             f"sustained overlap-tile segmentation, {size}x{size} frames, "
             f"full-width bf16 folded U-Net, batch {frames_per_call}"
@@ -212,8 +212,98 @@ def main() -> int:
         "value": round(mpix, 2),
         "unit": "MPix/s/chip",
         "vs_baseline": round(vs, 1) if vs is not None else 1.0,
-    }))
+    }
+    # BASELINE.json's metric is a TRIPLE — "MPix/s/chip; train steps/sec;
+    # SEG IoU" — so the bench line carries all three. Train steps/s is
+    # measured live (scan-slope, same method); SEG comes from the recorded
+    # shipped-recipe evaluation (docs/results_latest.json, written by the
+    # pipeline eval runs) — a full retrain+eval inside bench would take
+    # ~40 min of chip time per run.
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            record.update(_measure_train_step(lo, hi))
+        except Exception as e:  # pragma: no cover - keep the line printing
+            print(f"bench: train-step timing failed: {e!r}", file=sys.stderr)
+    results_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "docs", "results_latest.json"
+    )
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            seg = json.load(f)
+        record["seg_seq01"] = seg.get("seg_seq01")
+        record["seg_seq02"] = seg.get("seg_seq02")
+        record["seg_source"] = seg.get("source")
+
+    print(json.dumps(record))
     return 0
+
+
+def _measure_train_step(lo: int, hi: int) -> dict:
+    """Sustained augmented train step (best-recipe settings: full-width
+    bf16 net, batch 4, elastic+intensity aug, standardize) via the same
+    scan-slope method as the inference bench. Returns steps/s + ms/step."""
+    import time
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unetseg_tpu.core.config import Config
+    from unetseg_tpu.models.unet import UNet
+    from unetseg_tpu.train.loop import lanes_active
+    from unetseg_tpu.train.state import create_train_state
+    from unetseg_tpu.train.steps import make_train_step
+
+    cfg = Config()
+    model = UNet(cfg=cfg.model)
+    state0 = create_train_state(
+        jax.random.key(0), model_cfg=cfg.model, input_size=512, model=model
+    )
+    b = cfg.train.batch_size
+    imgs = jnp.asarray(np.random.RandomState(0).rand(b, 512, 512), jnp.float32)
+    masks = jnp.asarray(
+        np.random.RandomState(1).randint(0, 5, (b, 512, 512)), jnp.int32
+    )
+    wmaps = jnp.ones((b, 512, 512), jnp.float32)
+    val = jnp.ones((b,), bool)
+
+    lanes = lanes_active("auto", cfg.model, 512, None, batch_size=b)
+    raw = make_train_step(
+        model, donate=False, jit=False, augment=True, standardize=True,
+        aug_gamma=0.35, aug_illum=0.15, aug_noise=0.05, lanes=lanes,
+        remat=None if lanes else cfg.train.remat,
+    )
+
+    @partial(jax.jit, static_argnames="length")
+    def run(state, length):
+        def body(carry, i):
+            st, _ = carry
+            key = jax.random.fold_in(jax.random.key(7), i)
+            st, metrics = raw(st, imgs, masks, wmaps, val, key)
+            return (st, metrics["loss"]), ()
+
+        (st, loss), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)), jnp.arange(length)
+        )
+        return loss
+
+    for L in (lo, hi):
+        float(run(state0, L))  # compile
+    ts = {}
+    for L in (lo, hi, lo, hi, lo, hi):
+        t0 = time.perf_counter()
+        float(run(state0, L))
+        ts.setdefault(L, []).append(time.perf_counter() - t0)
+    per = (min(ts[hi]) - min(ts[lo])) / (hi - lo)
+    return {
+        "train_steps_per_sec": round(1.0 / per, 2),
+        "train_step_ms": round(per * 1e3, 2),
+        "train_step_config": (
+            f"augmented best-recipe step, batch {b}, 512^2, "
+            f"{'lanes' if lanes else 'xla'} path"
+        ),
+    }
 
 
 if __name__ == "__main__":

@@ -602,6 +602,10 @@ def cmd_pipeline(args) -> int:
         pred_flags = ["--tiled"] if args.tiled else []
         if args.resize_output:
             pred_flags += ["--resize-output", str(args.resize_output)]
+        if getattr(args, "tta", None):
+            pred_flags += ["--tta", args.tta]
+        if getattr(args, "tta_merge", None):
+            pred_flags += ["--tta-merge", args.tta_merge]
         rc = main(
             ["predict", *cfg_flags, "--data-root", data_root,
              "--sequence", seq, "--checkpoint-dir", ckpt_dir,
@@ -632,6 +636,10 @@ def cmd_pipeline(args) -> int:
             row["note"] = f"no {seq}_GT dirs under {data_root}; skipped scoring"
         summary[seq] = row
     print(json.dumps({"pipeline": summary}))
+    # machine-readable copy for downstream tooling (ensemble sweeps,
+    # docs/results_latest.json updates)
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
     return 0
 
 
@@ -906,6 +914,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--skip-preprocess", action="store_true")
     sp.add_argument("--skip-train", action="store_true",
                     help="reuse an existing --checkpoint-dir")
+    sp.add_argument("--tta", choices=["none", "flips"], default=None,
+                    help="forwarded to predict")
+    sp.add_argument("--tta-merge", dest="tta_merge",
+                    choices=["mean", "gmean", "vote", "max"], default=None,
+                    help="forwarded to predict")
     sp.set_defaults(fn=cmd_pipeline)
 
     return p
