@@ -81,6 +81,67 @@ def run_trainstep(tmpdir, augment=False):
             float(metrics["loss"])
 
 
+def run_bench_pipeline(tmpdir, size=512, frames=16):
+    """Profile the FULL bench segment program (pad -> tile -> normalize ->
+    lanes forward -> softmax -> threshold -> stitch) — the end-to-end
+    pipeline runs at ~57 TF/s while the bare forward runs at ~106, and this
+    mode attributes the difference per op."""
+    from functools import partial
+
+    from unetseg_tpu.core.config import ModelConfig
+    from unetseg_tpu.infer.folding import fold_batchnorm
+    from unetseg_tpu.infer.lanes_net import folded_forward_tier1, supports
+    from unetseg_tpu.infer.tiling import (
+        extract_tiles, min_tile_input, mirror_pad, plan_tiles, stitch,
+    )
+    from unetseg_tpu.models.fast_init import fast_random_variables
+
+    from unetseg_tpu.models.unet import UNet
+
+    tile_in = min_tile_input(size)
+    model = UNet(cfg=ModelConfig())
+    variables = fast_random_variables(model, jax.random.key(0), input_size=size)
+    fmodel, fvars = fold_batchnorm(ModelConfig(), variables)
+    use_lanes = jax.default_backend() == "tpu" and supports(ModelConfig(), tile_in)
+    if use_lanes:
+        apply_fn = lambda fv, x: folded_forward_tier1(
+            fv["params"], x, ModelConfig(), dec_fuse="head",
+        )
+    else:
+        apply_fn = lambda fv, x: fmodel.apply(fv, x)
+    grid = plan_tiles(size, size, tile_in)
+    n_tiles = frames * grid.num_tiles
+    tile_chunk = 16
+
+    @jax.jit
+    def segment(fv, fr):
+        with jax.named_scope("tile_extract"):
+            tiles = jax.vmap(
+                lambda im: extract_tiles(mirror_pad(im, grid), grid)
+            )(fr)
+            tiles = tiles.reshape(n_tiles, grid.tile_in, grid.tile_in)
+            x = (tiles - 0.5) / 0.5
+        outs = []
+        for s in range(0, n_tiles, tile_chunk):
+            logits = apply_fn(fv, x[s : s + tile_chunk, ..., None])
+            with jax.named_scope("softmax_threshold"):
+                outs.append(jax.nn.softmax(logits, -1)[..., 1] > 0.5)
+        with jax.named_scope("stitch"):
+            masks = jnp.concatenate(outs).reshape(
+                frames, grid.num_tiles, grid.tile_out, grid.tile_out
+            )
+            masks = jax.vmap(lambda m: stitch(m[..., None], grid)[..., 0])(masks)
+        return masks.astype(jnp.uint8)
+
+    fr = jnp.asarray(
+        np.random.RandomState(0).rand(frames, size, size).astype(np.float32)
+    )
+    np.asarray(segment(fvars, fr)).sum()  # compile+warm
+    with jax.profiler.trace(tmpdir):
+        for _ in range(3):
+            np.asarray(segment(fvars, fr)).sum()
+
+
 def parse(tmpdir, n_iters=3):
     paths = glob.glob(os.path.join(tmpdir, "**", "*.trace.json.gz"), recursive=True)
     assert paths, f"no trace under {tmpdir}"
@@ -146,6 +207,8 @@ if __name__ == "__main__":
         run_trainstep(tmpdir, augment=True)
     elif mode == "forward-lanes":
         run_forward(tmpdir, size=size, lanes=True)
+    elif mode == "bench":
+        run_bench_pipeline(tmpdir, size=size)
     else:
         run_forward(tmpdir, size=size)
     parse(tmpdir)
