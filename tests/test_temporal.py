@@ -147,3 +147,83 @@ def test_predict_sequence_temporal_flag(tmp_path):
         str(seq), out_m, out_i, batch_size=2, temporal_markers=True
     )
     assert len(written) == 6
+
+    # bidi: same frame set, deferred instance writes land identically named
+    out_m2 = str(tmp_path / "RES2")
+    out_i2 = str(tmp_path / "RES_INST2")
+    written2 = pred.predict_sequence(
+        str(seq), out_m2, out_i2, batch_size=2,
+        temporal_markers=True, temporal_bidi=True,
+    )
+    import os
+
+    import pytest
+
+    assert len(written2) == 6
+    assert sorted(os.listdir(out_i2)) == sorted(os.listdir(out_i))
+
+    with pytest.raises(ValueError):
+        pred.predict_sequence(
+            str(seq), out_m2, out_i2, temporal_bidi=True
+        )
+
+
+def test_refine_backward_splits_early_frames():
+    """Frame 0 is a merged blob, frame 1 has the two cells separate: the
+    FORWARD pass leaves frame 0 merged (no history), the backward sweep
+    splits it from frame 1's instances."""
+    from unetseg_tpu.post.temporal import refine_backward
+
+    shape = (64, 96)
+    f0 = np.zeros(shape, np.uint8)
+    f0[16:48, 12:80] = 1  # merged blob, single distance ridge
+    f1 = np.zeros(shape, np.uint8)
+    f1[16:48, 12:42] = 1
+    f1[16:48, 50:80] = 1  # separated
+    binaries = [f0, f1]
+    fwd = []
+    prev = None
+    for b in binaries:
+        inst = temporal_instance_masks(
+            b, prev, min_size=5, min_overlap=100, backend="python"
+        )
+        fwd.append(inst)
+        prev = inst
+    assert len(set(np.unique(fwd[0])) - {0}) == 1  # forward: merged
+    assert len(set(np.unique(fwd[1])) - {0}) == 2
+
+    out = refine_backward(
+        binaries, fwd, min_size=5, min_overlap=100, backend="python"
+    )
+    assert len(set(np.unique(out[0])) - {0}) == 2  # backward: split
+    assert out[0][32, 20] != out[0][32, 70]
+    assert ((out[0] > 0) == (f0 > 0)).all()  # coverage preserved
+    np.testing.assert_array_equal(out[1], fwd[1])  # later frame untouched
+
+
+def test_refine_backward_never_merges():
+    """A frame whose forward result is MORE split than its successor must
+    keep its forward labels (strictly-more-pieces adoption only)."""
+    from unetseg_tpu.post.temporal import refine_backward
+
+    shape = (64, 96)
+    b_split = np.zeros(shape, np.uint8)
+    b_split[16:48, 12:42] = 1
+    b_split[16:48, 50:80] = 1
+    b_merged = np.zeros(shape, np.uint8)
+    b_merged[16:48, 12:80] = 1
+    binaries = [b_split, b_merged]
+    fwd = []
+    prev = None
+    for b in binaries:
+        inst = temporal_instance_masks(
+            b, prev, min_size=5, min_overlap=100, backend="python"
+        )
+        fwd.append(inst)
+        prev = inst
+    assert len(set(np.unique(fwd[0])) - {0}) == 2
+    out = refine_backward(
+        binaries, fwd, min_size=5, min_overlap=100, backend="python"
+    )
+    # frame 0 keeps its two instances even though frame 1 has one
+    assert len(set(np.unique(out[0])) - {0}) == 2

@@ -255,6 +255,8 @@ def cmd_predict(args) -> int:
         marker_frac=args.marker_frac,
         device_cc=args.device_cc,
         temporal_markers=args.temporal_markers or icfg.temporal_markers,
+        temporal_bidi=getattr(args, "temporal_bidi", None)
+        or icfg.temporal_bidi,
     )
     print(f"\nwrote {len(written)} files -> {masks_dir} , {inst_dir}")
     return 0
@@ -606,6 +608,8 @@ def cmd_pipeline(args) -> int:
             pred_flags += ["--tta", args.tta]
         if getattr(args, "tta_merge", None):
             pred_flags += ["--tta-merge", args.tta_merge]
+        if getattr(args, "temporal_bidi", None):
+            pred_flags += ["--temporal-bidi"]
         rc = main(
             ["predict", *cfg_flags, "--data-root", data_root,
              "--sequence", seq, "--checkpoint-dir", ckpt_dir,
@@ -755,6 +759,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--marker-frac", dest="marker_frac", type=float, default=0.5,
                     help="watershed marker threshold as a fraction of each "
                          "component's distance maximum")
+    sp.add_argument("--temporal-bidi", dest="temporal_bidi",
+                    action="store_const", const=True, default=None,
+                    help="backward temporal sweep: propagate later frames' "
+                         "instance boundaries back so early frames split "
+                         "too (needs --temporal-markers)")
     sp.add_argument("--tta", choices=["none", "flips"], default=None,
                     help="test-time augmentation for tiled binary "
                          "prediction: combine probabilities over flips "
@@ -918,6 +927,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="forwarded to predict")
     sp.add_argument("--tta-merge", dest="tta_merge",
                     choices=["mean", "gmean", "vote", "max"], default=None,
+                    help="forwarded to predict")
+    sp.add_argument("--temporal-bidi", dest="temporal_bidi",
+                    action="store_const", const=True, default=None,
                     help="forwarded to predict")
     sp.set_defaults(fn=cmd_pipeline)
 

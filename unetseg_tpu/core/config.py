@@ -154,6 +154,12 @@ class InferConfig:
     # re-seeded sub-instance below this fraction of its seeding previous
     # instance's area and re-flood with the surviving seeds. 0 disables.
     temporal_area_guard: float = 0.3
+    # Backward temporal sweep (post/temporal.refine_backward): after the
+    # forward pass, propagate later frames' instance boundaries BACKWARD so
+    # early frames — which have no history — get their touching cells split
+    # too. Adoption is strictly more-pieces-only (splits propagate, merges
+    # never do). Requires temporal_markers.
+    temporal_bidi: bool = False
     # test-time augmentation for tiled binary prediction: "none" | "flips"
     # (combine foreground probabilities over the 4 flip transforms before
     # thresholding — infer/tiling.TTA_TRANSFORMS). 4x device compute; the

@@ -308,6 +308,7 @@ class Predictor:
         marker_frac: float = 0.5,
         device_cc: bool = False,
         temporal_markers: bool = False,
+        temporal_bidi: bool = False,
     ) -> List[str]:
         """Predict every t*.tif frame -> mask{NNN}.tif + m{NNN}.tif
         (reference: scripts/predict.py:57-116). With `tiled=True` frames keep
@@ -333,9 +334,14 @@ class Predictor:
                 "temporal_markers re-seeds the host watershed from the "
                 "previous frame and is incompatible with device_cc"
             )
+        if temporal_bidi and not temporal_markers:
+            raise ValueError("temporal_bidi refines the temporal_markers "
+                             "pass; enable both")
         bs = batch_size or self.cfg.tile_batch
         written: List[str] = []
         prev_inst: Optional[np.ndarray] = None  # temporal-marker state
+        # backward-pass buffers (frame number, binary, forward instances)
+        bidi_frames: List[tuple] = []
         size = None if tiled else self.cfg.image_size
         for start in range(0, len(frames), bs):
             chunk = frames[start : start + bs]
@@ -436,12 +442,36 @@ class Predictor:
                 else:
                     inst = get_instance_masks(b, min_size=self.cfg.min_cell_size)
                 mask_path = os.path.join(output_masks_dir, f"mask{num:03d}.tif")
-                inst_path = os.path.join(output_instance_dir, f"m{num:03d}.tif")
                 write_mask_u8(mask_path, b)
-                write_mask_u16(inst_path, inst)
-                written.extend([mask_path, inst_path])
+                written.append(mask_path)
+                if temporal_bidi:
+                    # defer instance writes: the backward sweep needs the
+                    # whole sequence (post/temporal.refine_backward)
+                    bidi_frames.append((num, b, inst))
+                else:
+                    inst_path = os.path.join(
+                        output_instance_dir, f"m{num:03d}.tif"
+                    )
+                    write_mask_u16(inst_path, inst)
+                    written.append(inst_path)
             if progress:
                 progress(min(start + bs, len(frames)), len(frames))
+        if temporal_bidi:
+            from unetseg_tpu.post.temporal import refine_backward
+
+            refined = refine_backward(
+                [b for _, b, _ in bidi_frames],
+                [i for _, _, i in bidi_frames],
+                min_size=self.cfg.min_cell_size,
+                marker_frac=marker_frac,
+                area_guard=self.cfg.temporal_area_guard,
+            )
+            for (num, _, _), inst in zip(bidi_frames, refined):
+                inst_path = os.path.join(
+                    output_instance_dir, f"m{num:03d}.tif"
+                )
+                write_mask_u16(inst_path, inst)
+                written.append(inst_path)
         return written
 
     # ------------------------------------------------------- construction

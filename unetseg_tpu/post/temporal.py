@@ -118,3 +118,76 @@ def temporal_instance_masks(
                     ).astype(np.uint16)
     labels = remove_small(labels.astype(np.int64), min_size)
     return relabel_sequential(labels).astype(np.uint16)
+
+
+def _adopt_more_split(
+    binary: np.ndarray, base: np.ndarray, cand: np.ndarray
+) -> np.ndarray:
+    """Per foreground component, keep `base`'s labels unless `cand` splits
+    that component into MORE instances — then adopt cand's pieces there
+    (renumbered past base's labels). Strictly-more-pieces is the only
+    adoption rule, so a backward pass can never merge or erode a forward
+    split, only refine under-segmentation."""
+    comp, n = label_components(np.asarray(binary) > 0)
+    out = base.astype(np.int64).copy()
+    nxt = int(base.max()) + 1
+    for ci in range(1, n + 1):
+        region = comp == ci
+        nb = np.unique(base[region])
+        nc = np.unique(cand[region])
+        if len(nc[nc > 0]) > len(nb[nb > 0]):
+            sub = np.where(region, cand.astype(np.int64), 0)
+            ids = np.unique(sub)
+            ids = ids[ids > 0]
+            remap = np.zeros(int(sub.max()) + 1, np.int64)
+            for k, i in enumerate(ids):
+                remap[i] = nxt + k
+            nxt += len(ids)
+            out = np.where(region, np.where(sub > 0, remap[sub], 0), out)
+    return relabel_sequential(out).astype(np.uint16)
+
+
+def refine_backward(
+    binaries,
+    insts,
+    min_size: int = 1500,
+    marker_frac: float = 0.5,
+    smooth_sigma: float = 2.0,
+    core_frac: float = 0.5,
+    min_overlap: int = 500,
+    area_guard: float = 0.3,
+    backend: str = "native",
+    max_frames: Optional[int] = 8,
+):
+    """Backward temporal sweep over a whole sequence's instance maps.
+
+    The forward pass (temporal_instance_masks frame by frame) cannot split
+    under-segmented EARLY frames — frame 0 has no history, so touching
+    cells that only separate later stay merged for the first few frames
+    (the residual NS ops cluster there: e.g. seed-0 seq-02 has one 28k-px
+    component covering two GT markers for frames 0-3). This sweep runs the
+    same temporal re-seeding in reverse, seeding frame t from the already-
+    refined frame t+1, and adopts a component's new labels only when they
+    split it into strictly more pieces (_adopt_more_split) — so the pass
+    is monotone: splits propagate backward, merges never do.
+
+    `max_frames` bounds the sweep to the first that-many frames. Running it
+    over the WHOLE sequence is a measured negative: walking backward
+    through a division turns the single pre-division parent into two false
+    pieces seeded by its daughters (seed-0 A/B: seq-01 SEG 0.877 -> 0.855,
+    FP +47 on seq 02), while the NS the sweep exists to fix clusters in
+    the first few frames. None sweeps everything.
+    """
+    out = list(insts)
+    kw = dict(
+        min_size=min_size, marker_frac=marker_frac,
+        smooth_sigma=smooth_sigma, core_frac=core_frac,
+        min_overlap=min_overlap, area_guard=area_guard, backend=backend,
+    )
+    start = len(out) - 2
+    if max_frames is not None:
+        start = min(start, max_frames - 1)
+    for t in range(start, -1, -1):
+        cand = temporal_instance_masks(binaries[t], out[t + 1], **kw)
+        out[t] = _adopt_more_split(binaries[t], out[t], cand)
+    return out
