@@ -220,11 +220,30 @@ def test_division_area_gate_classic_path():
 
 
 def test_division_threshold_config():
-    cfg = TrackConfig(iou_threshold_division=0.9)  # impossible to divide
+    # both candidate tests off: IoU threshold impossible, cover disabled
+    cfg = TrackConfig(iou_threshold_division=0.9, division_child_cover=0)
     parent = frame((1, 20, 40, 20, 40))
     children = frame((1, 20, 30, 20, 30), (2, 30, 40, 30, 40))
     tracks = track_sequence_masks([parent, children], cfg=cfg)
     assert all(t.parent_label == 0 for t in tracks)
+
+
+def test_division_child_cover_recovers_low_iou_daughter():
+    """A daughter mostly OUTSIDE the parent (IoU below the division
+    threshold) still counts via the asymmetric cover test — the real
+    missed-division signature (IoU 0.074, cover 0.26 on seq 01)."""
+    parent = frame((1, 20, 40, 20, 40))  # 20x20 = 400 px
+    # daughter A: top half, strong match; daughter B: 10x10, only 3 of 10
+    # columns inside the parent -> IoU 30/(400+100-30) ~ 0.064 < 0.1,
+    # cover 30/100 = 0.3 >= 0.25
+    children = frame((1, 20, 30, 20, 40), (2, 30, 40, 37, 47))
+    tracks = track_sequence_masks([parent, children], cfg=TrackConfig())
+    assert sum(t.parent_label > 0 for t in tracks) == 2
+    # with cover disabled, the IoU rule alone misses it
+    tracks2 = track_sequence_masks(
+        [parent, children], cfg=TrackConfig(division_child_cover=0)
+    )
+    assert sum(t.parent_label > 0 for t in tracks2) == 0
 
 
 # ----------------------------------------------------------------------- IO

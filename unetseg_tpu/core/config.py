@@ -197,6 +197,15 @@ class TrackConfig:
     # fragment-triggered false divisions that made division_from_matched
     # over-trigger (76 children on seq 01 in round 1).
     division_min_child_frac: float = 0.25
+    # Asymmetric division-candidate test (non-faithful modes; 0 disables):
+    # accept an unmatched current object as a daughter when
+    # intersection(parent, object) / area(object) >= this, even if its IoU
+    # vs the parent is below iou_threshold_division. IoU is structurally
+    # depressed for daughters (~half the parent's size: a fully-contained
+    # daughter caps at IoU ~0.5, and offset ones fall fast) — the one
+    # missed seq-01 division had daughter-coverage 0.26 at IoU 0.074
+    # (tools/division_debug.py).
+    division_child_cover: float = 0.25
 
 
 @dataclass(frozen=True)

@@ -105,6 +105,24 @@ class Tracker:
             return all(
                 curr_areas[j] >= frac * prev_areas[i] for j in child_js
             )
+        def division_candidate(i: int, j: int) -> bool:
+            """Current object j can be a daughter of prev i: IoU above the
+            division threshold (reference rule), or — non-faithful only —
+            parent covers >= division_child_cover of the daughter's area.
+            IoU under-measures daughters (half the parent's size caps IoU
+            near 0.5 even fully contained); the asymmetric cover recovers
+            divisions whose second daughter lands mostly outside the
+            parent (observed at IoU 0.074, cover 0.26)."""
+            if iou[i, j] >= cfg.iou_threshold_division:
+                return True
+            cov = cfg.division_child_cover
+            if self.faithful or cov <= 0 or curr_areas[j] == 0:
+                return False
+            inter = iou[i, j] * (prev_areas[i] + curr_areas[j]) / (
+                1.0 + iou[i, j]
+            )
+            return inter / curr_areas[j] >= cov
+
         assignment: Dict[int, int] = {}
         matched_prev: set = set()
         matched_curr: set = set()
@@ -143,8 +161,7 @@ class Tracker:
                     continue
                 extras = [
                     j2 for j2 in range(n_curr)
-                    if j2 not in matched_curr
-                    and iou[i, j2] >= cfg.iou_threshold_division
+                    if j2 not in matched_curr and division_candidate(i, j2)
                 ]
                 if len(extras) == cfg.max_children - 1 and area_gate_ok(
                     i, [j] + extras
@@ -165,8 +182,7 @@ class Tracker:
             if p_lab not in st.active:
                 continue
             children = [
-                j for j in unmatched_curr
-                if iou[i, j] >= cfg.iou_threshold_division
+                j for j in unmatched_curr if division_candidate(i, j)
             ]
             if 2 <= len(children) <= cfg.max_children and area_gate_ok(
                 i, children
