@@ -50,6 +50,11 @@ fi
 if [ -f "$RUN/s0/.done" ]; then
   eval_one s0_tta_gmean "$RUN/s0" --tta flips --tta-merge gmean
   eval_one s0_tta_vote  "$RUN/s0" --tta flips --tta-merge vote
+  eval_one s0_tta_mean  "$RUN/s0" --tta flips
+fi
+if [ -f "$RUN/s0/.done" ] && [ -f "$RUN/s1/.done" ] && [ -f "$RUN/s2/.done" ]; then
+  ENS="$RUN/s0,$RUN/s1,$RUN/s2"
+  eval_one ens_tta_vote "$ENS" --tta flips --tta-merge vote
 fi
 
 log "collecting summaries"
