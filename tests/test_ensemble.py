@@ -80,3 +80,32 @@ def test_single_dir_list_falls_back(nets):
     # just pin the constructor-level ensemble detection
     members, _ = nets
     assert not isinstance(members[0]._variables, (list, tuple))
+
+
+def test_ensemble_merge_gmean_and_vote(nets):
+    """gmean == exp(mean(log p)) of members; vote == pixel majority of
+    per-member thresholded masks (exact, not approximate)."""
+    import dataclasses
+
+    members, ens = nets
+    imgs = np.random.RandomState(3).rand(2, SIZE, SIZE).astype(np.float32)
+    member_p = [np.asarray(m.probs(imgs)) for m in members]
+
+    g = Predictor(
+        model=ens.model, params=ens.params, batch_stats=ens.batch_stats,
+        cfg=dataclasses.replace(ICFG, ensemble_merge="gmean"),
+    )
+    got = np.asarray(g.probs(imgs))
+    want = np.exp(np.mean([np.log(p + 1e-7) for p in member_p], axis=0))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    v = Predictor(
+        model=ens.model, params=ens.params, batch_stats=ens.batch_stats,
+        cfg=dataclasses.replace(ICFG, ensemble_merge="vote"),
+    )
+    got_v = np.asarray(v.probs(imgs))
+    votes = np.sum([p > ICFG.threshold for p in member_p], axis=0)
+    want_v = (votes * 2 > len(member_p)).astype(np.float32)
+    np.testing.assert_array_equal(got_v, want_v)
+    # downstream threshold reproduces the member-majority mask
+    assert set(np.unique(got_v)) <= {0.0, 1.0}

@@ -200,7 +200,7 @@ def _infer_overrides(args) -> dict:
     boolean flags use store_const(True), so absent flags stay absent."""
     out = {}
     for name in ("threshold", "min_cell_size", "normalize", "standardize",
-                 "tta", "tta_merge"):
+                 "tta", "tta_merge", "ensemble_merge"):
         v = getattr(args, name, None)
         if v is not None:
             out[name] = v
@@ -610,6 +610,8 @@ def cmd_pipeline(args) -> int:
             pred_flags += ["--tta-merge", args.tta_merge]
         if getattr(args, "temporal_bidi", None):
             pred_flags += ["--temporal-bidi"]
+        if getattr(args, "ensemble_merge", None):
+            pred_flags += ["--ensemble-merge", args.ensemble_merge]
         rc = main(
             ["predict", *cfg_flags, "--data-root", data_root,
              "--sequence", seq, "--checkpoint-dir", ckpt_dir,
@@ -764,6 +766,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="backward temporal sweep: propagate later frames' "
                          "instance boundaries back so early frames split "
                          "too (needs --temporal-markers)")
+    sp.add_argument("--ensemble-merge", dest="ensemble_merge",
+                    choices=["mean", "gmean", "vote"], default=None,
+                    help="deep-ensemble member merge (binary head): mean, "
+                         "geometric mean, or per-member-threshold majority "
+                         "vote")
     sp.add_argument("--tta", choices=["none", "flips"], default=None,
                     help="test-time augmentation for tiled binary "
                          "prediction: combine probabilities over flips "
@@ -930,6 +937,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="forwarded to predict")
     sp.add_argument("--temporal-bidi", dest="temporal_bidi",
                     action="store_const", const=True, default=None,
+                    help="forwarded to predict")
+    sp.add_argument("--ensemble-merge", dest="ensemble_merge",
+                    choices=["mean", "gmean", "vote"], default=None,
                     help="forwarded to predict")
     sp.set_defaults(fn=cmd_pipeline)
 

@@ -171,6 +171,11 @@ class InferConfig:
     # separating membranes survive), "vote" (per-flip threshold then strict
     # pixel majority, >half the flips), "max" (union — recall-maximizing).
     tta_merge: str = "mean"
+    # how deep-ensemble MEMBER probabilities merge (infer/engine.py):
+    # "mean" | "gmean" | "vote" — same trade-offs as tta_merge (member
+    # disagreement concentrates on the membranes between touching cells).
+    # Binary head only; 3-class ensembles always mean.
+    ensemble_merge: str = "mean"
 
 
 @dataclass(frozen=True)

@@ -181,15 +181,29 @@ class Predictor:
             return binary_probs_from_logits(logits)
 
         if ensemble:
+            merge = getattr(self.cfg, "ensemble_merge", "mean")
 
             @jax.jit
             def _probs(variables, images: jnp.ndarray) -> jnp.ndarray:
-                # mean of member PROBABILITIES (post-softmax/sigmoid), the
-                # standard deep-ensemble combination
-                return jnp.mean(
-                    jax.lax.map(lambda v: _probs_one(v, images), variables),
-                    axis=0,
-                )
+                # combine member PROBABILITIES (post-softmax/sigmoid).
+                # "mean" is the standard deep-ensemble combination but
+                # smooths the thin membranes between touching cells where
+                # members disagree (the same failure as TTA mean-merge);
+                # "gmean" keeps a near-zero member vote authoritative.
+                # "vote" thresholds each member and returns the pixel
+                # majority as {0,1} probabilities (>0.5 test downstream
+                # reproduces the member-majority mask for any threshold
+                # downstream of 0/1).
+                member = jax.lax.map(lambda v: _probs_one(v, images), variables)
+                binary = member.ndim == 4  # (M, B, h, w); 3-class is 5-D
+                if merge == "gmean" and binary:
+                    return jnp.exp(
+                        jnp.mean(jnp.log(member + 1e-7), axis=0)
+                    )
+                if merge == "vote" and binary:
+                    votes = jnp.sum(member > self.cfg.threshold, axis=0)
+                    return (votes * 2 > member.shape[0]).astype(jnp.float32)
+                return jnp.mean(member, axis=0)
 
         else:
             _probs = jax.jit(_probs_one)
