@@ -273,6 +273,7 @@ def _measure_train_step(lo: int, hi: int) -> dict:
         model, donate=False, jit=False, augment=True, standardize=True,
         aug_gamma=0.35, aug_illum=0.15, aug_noise=0.05, lanes=lanes,
         remat=None if lanes else cfg.train.remat,
+        assume_valid=True,  # the recipe feed divides evenly (152 / 4)
     )
 
     @partial(jax.jit, static_argnames="length")

@@ -143,7 +143,13 @@ def test_dense_matches_reference(masked):
 
 
 @pytest.mark.parametrize("masked", [False, True])
-def test_nhwc_matches_reference(masked):
+def test_nhwc_matches_reference(masked, monkeypatch):
+    # This synthetic loss differentiates through the RUNNING STATS, where
+    # the conv bias has a real gradient; the shipped default stop-grads the
+    # pre-BN bias (its gradient through the training loss — which never
+    # reads stats — is exactly zero). Compare in faithful mode; the sg
+    # default is covered by test_bias_stop_gradient_default.
+    monkeypatch.setenv("UNETSEG_BIAS_SG", "0")
     k = jax.random.split(jax.random.key(1), 8)
     B, HH, WW = 4, 5, 6
     x = _rand(k[0], (B, HH + 2, WW + 2, 3))
@@ -289,4 +295,51 @@ def test_p2_dp_matches_reference_dp():
         )
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(tr), rtol=1e-3, atol=1e-5,
+        )
+
+
+def test_bias_stop_gradient_default():
+    """Default mode pins the pre-BN conv bias: zero gradient, and every
+    OTHER gradient matches faithful mode through a training-style loss
+    (which reads only y, never the running stats — where the true bias
+    gradient is exactly zero)."""
+    import os
+
+    k = jax.random.split(jax.random.key(2), 8)
+    B, HH, WW = 4, 5, 6
+    x = _rand(k[0], (B, HH + 2, WW + 2, 3))
+    kern = _rand(k[1], (3, 3, 3, NCH)) * 0.2
+    bias = _rand(k[2], (NCH,)) * 0.1
+    gamma = _rand(k[3], (NCH,)) * 0.5 + 1.0
+    beta = _rand(k[4], (NCH,))
+    rm = _rand(k[5], (NCH,))
+    rv = jnp.abs(_rand(k[6], (NCH,))) + 0.5
+    wy = _rand(k[7], (B, HH, WW, NCH))
+
+    def loss(x, kern, bias, gamma, beta):
+        y, _ = lt._conv_bn_relu_nhwc(
+            x, {"kernel": kern, "bias": bias},
+            {"scale": gamma, "bias": beta}, {"mean": rm, "var": rv},
+            None, MOM, EPS, jnp.float32,
+        )
+        return jnp.sum(wy * y)
+
+    args = (x, kern, bias, gamma, beta)
+    old = os.environ.get("UNETSEG_BIAS_SG")
+    try:
+        os.environ["UNETSEG_BIAS_SG"] = "1"
+        g_sg = jax.grad(loss, argnums=tuple(range(5)))(*args)
+        os.environ["UNETSEG_BIAS_SG"] = "0"
+        g_ff = jax.grad(loss, argnums=tuple(range(5)))(*args)
+    finally:
+        if old is None:
+            os.environ.pop("UNETSEG_BIAS_SG", None)
+        else:
+            os.environ["UNETSEG_BIAS_SG"] = old
+    np.testing.assert_array_equal(np.asarray(g_sg[2]), 0.0)
+    # the faithful bias grad through y is float NOISE around the exact 0
+    assert float(np.abs(np.asarray(g_ff[2])).max()) < 1e-4
+    for i in (0, 1, 3, 4):  # x, kernel, gamma, beta identical
+        np.testing.assert_allclose(
+            np.asarray(g_sg[i]), np.asarray(g_ff[i]), rtol=2e-5, atol=2e-6
         )

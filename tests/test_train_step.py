@@ -106,3 +106,43 @@ def test_sgd_momentum_matches_torch():
         opt.step()
 
     np.testing.assert_allclose(np.asarray(p), pt.detach().numpy(), atol=1e-6)
+
+
+def test_assume_valid_matches_masked_when_all_valid():
+    """assume_valid=True drops BN item masking statically; with an all-true
+    valid vector the step must be numerically equivalent (same stats, same
+    gradients) to the masked step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unetseg_tpu.core.config import ModelConfig
+    from unetseg_tpu.models.unet import UNet
+    from unetseg_tpu.train.state import create_train_state
+    from unetseg_tpu.train.steps import make_train_step
+
+    tiny = ModelConfig(compute_dtype="float32", base_features=4)
+    model = UNet(cfg=tiny)
+    state = create_train_state(
+        jax.random.key(0), model_cfg=tiny, input_size=188, model=model
+    )
+    rs = np.random.RandomState(0)
+    imgs = jnp.asarray(rs.rand(2, 188, 188), jnp.float32)
+    msks = jnp.asarray((rs.rand(2, 188, 188) > 0.6).astype(np.int32))
+    wms = jnp.ones((2, 188, 188), jnp.float32)
+    valid = jnp.ones((2,), bool)
+    key = jax.random.key(3)
+
+    sa = make_train_step(model, augment=False, donate=False,
+                         assume_valid=True)
+    sm = make_train_step(model, augment=False, donate=False)
+    st_a, m_a = sa(state, imgs, msks, wms, valid, key)
+    st_m, m_m = sm(state, imgs, msks, wms, valid, key)
+    # jnp.mean vs masked-sum/n differ only in reduction order (~1e-6 ulp)
+    assert abs(float(m_a["loss"]) - float(m_m["loss"])) < 1e-5
+    for pa, pm in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_m.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pm), atol=1e-5)
+    for ba, bm in zip(
+        jax.tree.leaves(st_a.batch_stats), jax.tree.leaves(st_m.batch_stats)
+    ):
+        np.testing.assert_allclose(np.asarray(ba), np.asarray(bm), atol=1e-5)

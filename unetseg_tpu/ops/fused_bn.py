@@ -36,6 +36,7 @@ Each factory takes the static geometry and returns
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -45,6 +46,35 @@ import jax.numpy as jnp
 def _tie(x):
     """Gradient factor of jnp.maximum(x, 0): 1 / 0.5 / 0 (JAX convention)."""
     return jnp.where(x > 0, 1.0, jnp.where(x < 0, 0.0, 0.5)).astype(jnp.float32)
+
+
+def _bwd_reduce_mode() -> str:
+    """Formulation of the backward G1/G2 reductions (A/B switch):
+    "sum" — multi-axis jnp.sum (the shipped form); "dots" — contract the
+    lane dim with a ones-vector dot_general first (MXU does cross-lane
+    reductions natively; the multi-axis reduce measured ~3x the roofline
+    read cost on v5e)."""
+    return os.environ.get("UNETSEG_BN_BWD", "sum")
+
+
+def _reduce2(gp, z, axes, lane_axis):
+    """G1 = sum(gp*z), G2 = sum(gp) over `axes`, f32 accumulation.
+    mode "dots": contract the minor (lane) axis on the MXU via a ones
+    vector, then finish the remaining axes with a plain sum."""
+    if _bwd_reduce_mode() != "dots":
+        G1 = jnp.sum(gp * z, axis=axes, dtype=jnp.float32)
+        G2 = jnp.sum(gp, axis=axes, dtype=jnp.float32)
+        return G1, G2
+    ones = jnp.ones((gp.shape[lane_axis],), gp.dtype)
+    dn = (((lane_axis,), (0,)), ((), ()))
+    g1 = jax.lax.dot_general(
+        gp * z, ones, dn, preferred_element_type=jnp.float32
+    )
+    g2 = jax.lax.dot_general(
+        gp, ones, dn, preferred_element_type=jnp.float32
+    )
+    rest = tuple(a - (1 if a > lane_axis else 0) for a in axes if a != lane_axis)
+    return jnp.sum(g1, axis=rest), jnp.sum(g2, axis=rest)
 
 
 def _finish_stats(s, sq, n, run_mean, run_var, momentum):
@@ -149,8 +179,7 @@ def make_bn_relu_p2(nch: int, h_valid: int, w_valid: int, item_stride: int,
         # free (H, 2, nch, L) reshape (single reduce ops — see _masks)
         z4 = z0.reshape(H, 2, nch, L)
         gp4 = gp.reshape(H, 2, nch, L)
-        G1 = jnp.sum(gp4 * z4, axis=(0, 1, 3), dtype=jnp.float32)
-        G2 = jnp.sum(gp4, axis=(0, 1, 3), dtype=jnp.float32)
+        G1, G2 = _reduce2(gp4, z4, axes=(0, 1, 3), lane_axis=3)
         da = G1 - mean * G2
         dgamma = da * inv
         dinv = gamma * da
@@ -254,8 +283,7 @@ def make_bn_relu_dense(h_valid: int, w_valid: int, item_stride: int,
             gp = gy * _tie(pre).astype(gy.dtype)
         else:
             gp = gy
-        G1 = jnp.sum(gp * z0, axis=(0, 2), dtype=jnp.float32)
-        G2 = jnp.sum(gp, axis=(0, 2), dtype=jnp.float32)
+        G1, G2 = _reduce2(gp, z0, axes=(0, 2), lane_axis=2)
         da = G1 - mean * G2
         dgamma = da * inv
         dinv = gamma * da
@@ -352,8 +380,24 @@ def make_bn_relu_nhwc(momentum: float, eps: float, relu: bool = True,
             gp = gy * _tie(pre).astype(gy.dtype)
         else:
             gp = gy
-        G1 = jnp.sum(gp * z, axis=(0, 1, 2), dtype=jnp.float32)
-        G2 = jnp.sum(gp, axis=(0, 1, 2), dtype=jnp.float32)
+        if _bwd_reduce_mode() == "dots":
+            # (B*H*W, C) matvec with a ones vector: the MXU contracts the
+            # major dim natively (reduced axes are all major here — C, the
+            # lane dim, is the one KEPT)
+            C = z.shape[-1]
+            ones = jnp.ones((gp.size // C,), gp.dtype)
+            dn = (((0,), (0,)), ((), ()))
+            G1 = jax.lax.dot_general(
+                (gp * z).reshape(-1, C), ones, dn,
+                preferred_element_type=jnp.float32,
+            )
+            G2 = jax.lax.dot_general(
+                gp.reshape(-1, C), ones, dn,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            G1 = jnp.sum(gp * z, axis=(0, 1, 2), dtype=jnp.float32)
+            G2 = jnp.sum(gp, axis=(0, 1, 2), dtype=jnp.float32)
         da = G1 - mean * G2
         dgamma = da * inv
         dinv = gamma * da

@@ -112,6 +112,7 @@ def make_lanes_dp_train_step(
     aug_noise: float = 0.0,
     interpret: bool = False,
     jit: bool = True,
+    assume_valid: bool = False,
 ) -> Callable:
     """Data-parallel train step for the lanes-native forward
     (models/lanes_train.py) via `jax.shard_map` over the mesh's data axis.
@@ -154,7 +155,10 @@ def make_lanes_dp_train_step(
         def loss_fn(p):
             logits, new_bs = train_forward_lanes(
                 p, batch_stats, images[..., None], model_cfg,
-                item_mask=valid, interpret=interpret, axis_name=axis,
+                # assume_valid: the feed divides evenly, so BN masking (and
+                # its backward select_n over every activation) drops out
+                item_mask=None if assume_valid else valid,
+                interpret=interpret, axis_name=axis,
             )
             loss = _masked_mean_loss(
                 logits, targets, weights, valid, n_pix=n_pix

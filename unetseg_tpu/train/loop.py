@@ -149,6 +149,10 @@ def train(
     lanes = lanes_active(
         t_cfg.lanes, m_cfg, input_size, mesh, batch_size=t_cfg.batch_size
     )
+    # the feed pads only the last batch; when the split divides evenly every
+    # batch item is real, so BN item-masking (and its backward select_n over
+    # every activation) can be dropped statically from the step
+    assume_valid = len(train_idx) % t_cfg.batch_size == 0
     if lanes:
         logger.log({"event": "lanes_train", "input_size": input_size})
     if lanes and mesh is not None:
@@ -157,6 +161,7 @@ def train(
         train_step = make_lanes_dp_train_step(
             mesh,
             m_cfg,
+            assume_valid=assume_valid,
             augment=d_cfg.augment,
             elastic_alpha=d_cfg.elastic_alpha,
             elastic_sigma=d_cfg.elastic_sigma,
@@ -171,6 +176,7 @@ def train(
     else:
         train_step = make_train_step(
             model,
+            assume_valid=assume_valid,
             augment=d_cfg.augment,
             elastic_alpha=d_cfg.elastic_alpha,
             elastic_sigma=d_cfg.elastic_sigma,
@@ -199,6 +205,7 @@ def train(
     )
     if use_scan:
         aug_kw = dict(
+            assume_valid=assume_valid,
             augment=d_cfg.augment,
             elastic_alpha=d_cfg.elastic_alpha,
             elastic_sigma=d_cfg.elastic_sigma,

@@ -164,11 +164,18 @@ def make_train_step(
     remat: Optional[str] = None,
     lanes: bool = False,
     jit: bool = True,
+    assume_valid: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
     step(state, images (B,H,W) f32[0,1], masks (B,H,W) i32 instance labels,
          weights (B,H,W) f32, valid (B,) bool, key) -> (state, metrics)
+
+    `assume_valid` statically promises every batch item is real (the feed
+    divides evenly — true for the recipe: 152 items / batch 4), so the
+    BatchNorm item masking and its backward select_n passes over every
+    activation disappear from the program. The `valid` argument is still
+    accepted (and still weights the loss) but no longer reaches BN.
 
     Augmentation order: elastic -> photometric (gamma/illumination, [0,1]
     domain) -> per-item standardization -> additive noise (final-input
@@ -184,6 +191,7 @@ def make_train_step(
 
     def step(state: TrainState, images, masks, weights, valid, key):
         images, targets, weights = augmenter(images, masks, weights, key)
+        bn_mask = None if assume_valid else valid
 
         if lanes:
             # lanes-native hot stages (enc0/up3/dec3 as Pallas custom-VJP
@@ -194,7 +202,7 @@ def make_train_step(
             def forward(params, images):
                 return train_forward_lanes(
                     params, state.batch_stats, images[..., None],
-                    model.cfg, item_mask=valid,
+                    model.cfg, item_mask=bn_mask,
                 )
         else:
             def forward(params, images):
@@ -202,7 +210,7 @@ def make_train_step(
                     {"params": params, "batch_stats": state.batch_stats},
                     images[..., None],
                     train=True,
-                    item_mask=valid,
+                    item_mask=bn_mask,
                     mutable=["batch_stats"],
                 )
                 return logits, mutated["batch_stats"]
