@@ -213,3 +213,35 @@ def test_full_workflow_train_predict_track(tree, tmp_path, capsys):
     # (the per-sequence protocol would split each sequence separately)
     assert pooled["n_samples"] == 2
     assert 0.0 <= pooled["mean_iou"] <= 1.0
+
+
+def test_refine_cli(tmp_path):
+    """refine: backward-sweep refinement of existing masks, no model needed."""
+    import numpy as np
+
+    from unetseg_tpu.data.io import read_image, write_mask_u8, write_mask_u16
+    from unetseg_tpu.post.temporal import temporal_instance_masks
+
+    masks = tmp_path / "RES"
+    insts = tmp_path / "INST"
+    out = tmp_path / "OUT"
+    masks.mkdir(); insts.mkdir()
+    # frame 0 merged blob, frame 1 separated (the early-frame NS shape)
+    f0 = np.zeros((64, 96), np.uint8); f0[16:48, 12:80] = 255
+    f1 = np.zeros((64, 96), np.uint8)
+    f1[16:48, 12:42] = 255; f1[16:48, 50:80] = 255
+    prev = None
+    for i, b in enumerate((f0, f1)):
+        write_mask_u8(str(masks / f"mask{i:03d}.tif"), (b > 0).astype(np.uint8))
+        inst = temporal_instance_masks(b > 0, prev, min_size=5,
+                                       min_overlap=100, backend="python")
+        write_mask_u16(str(insts / f"m{i:03d}.tif"), inst)
+        prev = inst
+    assert read_image(str(insts / "m000.tif")).max() == 1  # merged
+
+    from unetseg_tpu.cli.main import main
+    rc = main(["refine", "--masks-dir", str(masks),
+               "--instance-dir", str(insts), "--output-dir", str(out)])
+    assert rc == 0
+    r0 = read_image(str(out / "m000.tif"))
+    assert r0.max() == 2  # split by the backward sweep

@@ -262,6 +262,56 @@ def cmd_predict(args) -> int:
     return 0
 
 
+# -------------------------------------------------------------------- refine
+def cmd_refine(args) -> int:
+    """Post-hoc backward temporal refinement of existing predictions — no
+    re-prediction needed: reads the binary masks + instance masks a predict
+    run wrote, runs post/temporal.refine_backward over the first
+    --max-frames frames, writes refined instance masks. Lets users apply
+    the early-frame NS fix to archived prediction runs (it is also applied
+    inline by predict --temporal-bidi)."""
+    import numpy as np
+
+    from unetseg_tpu.data.io import (
+        frame_number, read_image, sorted_frames, write_mask_u16,
+    )
+    from unetseg_tpu.post.temporal import refine_backward
+
+    cfg = _load_config(args)
+    masks = sorted_frames(args.masks_dir, "mask*.tif")
+    if not masks:
+        print(f"error: no mask*.tif in {args.masks_dir}", file=sys.stderr)
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+    bins, insts, nums = [], [], []
+    for f in masks:
+        n = frame_number(f)
+        inst_path = os.path.join(args.instance_dir, f"m{n:03d}.tif")
+        if not os.path.exists(inst_path):
+            print(f"error: missing {inst_path}", file=sys.stderr)
+            return 1
+        bins.append(read_image(f) > 0)
+        insts.append(read_image(inst_path))
+        nums.append(n)
+    refined = refine_backward(
+        bins, insts,
+        min_size=cfg.infer.min_cell_size,
+        marker_frac=args.marker_frac,
+        area_guard=cfg.infer.temporal_area_guard,
+        max_frames=args.max_frames,
+    )
+    changed = 0
+    for n, r in zip(nums, refined):
+        write_mask_u16(os.path.join(args.output_dir, f"m{n:03d}.tif"), r)
+    changed = sum(
+        int(np.any(np.asarray(a) != np.asarray(b)))
+        for a, b in zip(insts, refined)
+    )
+    print(f"refined {len(refined)} frames ({changed} changed) "
+          f"-> {args.output_dir}")
+    return 0
+
+
 # --------------------------------------------------------------------- track
 def cmd_track(args) -> int:
     from unetseg_tpu.core.config import TrackConfig
@@ -789,6 +839,26 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--classes", type=int, default=None)
     sp.add_argument("--bilinear", action="store_true")
     sp.set_defaults(fn=cmd_predict)
+
+    sp = sub.add_parser(
+        "refine",
+        help="backward temporal refinement of existing instance masks "
+             "(no re-prediction; see predict --temporal-bidi)",
+    )
+    sp.add_argument("--config")
+    sp.add_argument("--masks-dir", required=True,
+                    help="binary mask*.tif directory from a predict run")
+    sp.add_argument("--instance-dir", required=True,
+                    help="m*.tif instance masks from the same run")
+    sp.add_argument("--output-dir", required=True,
+                    help="where refined m*.tif land")
+    sp.add_argument("--marker-frac", dest="marker_frac", type=float,
+                    default=0.5)
+    sp.add_argument("--max-frames", dest="max_frames", type=int, default=8,
+                    help="sweep depth from the sequence start (whole-"
+                         "sequence sweeps pre-split dividing parents — a "
+                         "measured negative)")
+    sp.set_defaults(fn=cmd_refine)
 
     sp = sub.add_parser("track", help="track instance masks into res_track.txt")
     sp.add_argument("--instance-dir", required=True)
