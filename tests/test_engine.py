@@ -216,3 +216,23 @@ def test_load_image_01_resize(tmp_path):
     x = load_image_01(p, image_size=20)
     assert x.shape == (20, 20)
     assert x.max() <= 1.0
+
+
+def test_masks_tiled_tta_flips8(predictor):
+    """Full D4 TTA: runs, is transpose-consistent on square inputs, and
+    rejects non-square frames."""
+    import dataclasses
+
+    pred = dataclasses.replace(predictor, cfg=dataclasses.replace(
+        predictor.cfg, tta="flips8", tta_merge="vote"
+    ))
+    imgs = np.random.RandomState(7).rand(2, 40, 40).astype(np.float32)
+    m = pred.masks_tiled(imgs)
+    assert m.shape == (2, 40, 40)
+    # the transform set is closed under transpose AND flips
+    m_t = pred.masks_tiled(np.ascontiguousarray(imgs.transpose(0, 2, 1)))
+    np.testing.assert_array_equal(np.transpose(m, (0, 2, 1)), m_t)
+    m_f = pred.masks_tiled(imgs[:, ::-1].copy())
+    np.testing.assert_array_equal(m[:, ::-1], m_f)
+    with pytest.raises(ValueError):
+        pred.masks_tiled(np.zeros((1, 40, 50), np.float32))

@@ -821,7 +821,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="deep-ensemble member merge (binary head): mean, "
                          "geometric mean, or per-member-threshold majority "
                          "vote")
-    sp.add_argument("--tta", choices=["none", "flips"], default=None,
+    sp.add_argument("--tta", choices=["none", "flips", "flips8"], default=None,
                     help="test-time augmentation for tiled binary "
                          "prediction: combine probabilities over flips "
                          "(4x device compute)")
@@ -1000,7 +1000,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--skip-preprocess", action="store_true")
     sp.add_argument("--skip-train", action="store_true",
                     help="reuse an existing --checkpoint-dir")
-    sp.add_argument("--tta", choices=["none", "flips"], default=None,
+    sp.add_argument("--tta", choices=["none", "flips", "flips8"], default=None,
                     help="forwarded to predict")
     sp.add_argument("--tta-merge", dest="tta_merge",
                     choices=["mean", "gmean", "vote", "max"], default=None,

@@ -183,6 +183,11 @@ def make_tiled_fn(
 #: images / probability maps. Flips commute with the pad/tile/stitch
 #: pipeline only when applied to the FULL frame and inverted on the full
 #: stitched probabilities, which is how make_tiled_mask_batch_fn uses them.
+def _t(x):
+    """Transpose the trailing (H, W) axes (square frames only)."""
+    return jnp.swapaxes(x, -2, -1)
+
+
 TTA_TRANSFORMS = {
     "none": [(lambda x: x, lambda x: x)],
     "flips": [
@@ -190,6 +195,18 @@ TTA_TRANSFORMS = {
         (lambda x: x[..., ::-1, :], lambda x: x[..., ::-1, :]),
         (lambda x: x[..., :, ::-1], lambda x: x[..., :, ::-1]),
         (lambda x: x[..., ::-1, ::-1], lambda x: x[..., ::-1, ::-1]),
+    ],
+    # the full dihedral group D4 (flips x transpose) — SQUARE frames only;
+    # inverse of (transpose then flip) is (unflip then transpose)
+    "flips8": [
+        (lambda x: x, lambda x: x),
+        (lambda x: x[..., ::-1, :], lambda x: x[..., ::-1, :]),
+        (lambda x: x[..., :, ::-1], lambda x: x[..., :, ::-1]),
+        (lambda x: x[..., ::-1, ::-1], lambda x: x[..., ::-1, ::-1]),
+        (_t, _t),
+        (lambda x: _t(x)[..., ::-1, :], lambda x: _t(x[..., ::-1, :])),
+        (lambda x: _t(x)[..., :, ::-1], lambda x: _t(x[..., :, ::-1])),
+        (lambda x: _t(x)[..., ::-1, ::-1], lambda x: _t(x[..., ::-1, ::-1])),
     ],
 }
 
@@ -222,6 +239,11 @@ def make_tiled_mask_batch_fn(
         batch = pad_tile_count(batch, mesh.num_data * mesh.num_tile)
     n_padded = pad_tile_count(total, batch)
 
+    if tta == "flips8" and grid.h != grid.w:
+        raise ValueError(
+            f"tta='flips8' transposes frames and needs square inputs; "
+            f"got {grid.h}x{grid.w}"
+        )
     transforms = TTA_TRANSFORMS[tta]
 
     def frame_probs(ctx, images: jnp.ndarray) -> jnp.ndarray:
