@@ -249,7 +249,7 @@ def _measure_train_step(lo: int, hi: int) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from unetseg_tpu.core.config import Config
+    from unetseg_tpu.core.config import Config, TrainConfig
     from unetseg_tpu.models.unet import UNet
     from unetseg_tpu.train.loop import lanes_active
     from unetseg_tpu.train.state import create_train_state
@@ -257,8 +257,15 @@ def _measure_train_step(lo: int, hi: int) -> dict:
 
     cfg = Config()
     model = UNet(cfg=cfg.model)
+    # the step must carry the RECIPE's optimizer (adam + cosine), not the
+    # reference-default SGD — the label says best-recipe steps/s
+    recipe_train = TrainConfig(
+        optimizer="adam", learning_rate=3e-4, cosine_decay=True,
+        num_epochs=40,
+    )
     state0 = create_train_state(
-        jax.random.key(0), model_cfg=cfg.model, input_size=512, model=model
+        jax.random.key(0), model_cfg=cfg.model, train_cfg=recipe_train,
+        input_size=512, model=model, steps_per_epoch=38,
     )
     b = cfg.train.batch_size
     imgs = jnp.asarray(np.random.RandomState(0).rand(b, 512, 512), jnp.float32)

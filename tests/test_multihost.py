@@ -88,7 +88,19 @@ WORKER = textwrap.dedent(
     ck = Checkpointer(ckdir, sync=True)
     assert ck._active == (pid == 0)
     ck.save(state, epoch=0, val_loss=loss)
+    ck.save_full(state, epoch=0, val_loss=loss)
     ck.close()
+
+    # multi-host RESUME: every process builds restore-side Orbax managers
+    # on the primary's directory; per-process singleton barrier scoping must
+    # keep this hang-free (a {0}-only active set deadlocked non-primaries)
+    barrier("saved")
+    from unetseg_tpu.train.checkpoint import latest_epoch, restore_checkpoint
+    ck0 = os.path.join(sys.argv[1], "ck_p0")
+    ep = latest_epoch(ck0)
+    assert ep == 0, ep
+    st_r, ep_r, _ = restore_checkpoint(ck0, state, ep)
+    assert ep_r == 0
 
     shard0 = process_shard_indices(10).tolist()
     barrier("test_done")

@@ -36,25 +36,27 @@ eval_one() { # name ckpt [extra pipeline flags...]
     > "$EVAL/$name/log.txt" 2>&1 || log "eval $name FAILED rc=$?"
 }
 
+# Every row pins ALL sweep axes explicitly — best_recipe.json now ships
+# the flagship inference settings (vote merges, temporal_bidi), so relying
+# on config defaults would silently relabel every baseline row.
+BASE=(--tta none --ensemble-merge mean --no-temporal-bidi)
 for s in 0 1 2; do
-  [ -f "$RUN/s$s/.done" ] && eval_one "s$s" "$RUN/s$s"
+  [ -f "$RUN/s$s/.done" ] && eval_one "s$s" "$RUN/s$s" "${BASE[@]}"
 done
 
 if [ -f "$RUN/s0/.done" ] && [ -f "$RUN/s1/.done" ] && [ -f "$RUN/s2/.done" ]; then
   ENS="$RUN/s0,$RUN/s1,$RUN/s2"
-  eval_one ens            "$ENS"
-  eval_one ens_tta_gmean  "$ENS" --tta flips --tta-merge gmean
-  eval_one ens_tta_mean   "$ENS" --tta flips
+  eval_one ens            "$ENS" "${BASE[@]}"
+  eval_one ens_tta_gmean  "$ENS" --tta flips --tta-merge gmean --ensemble-merge mean --no-temporal-bidi
+  eval_one ens_tta_mean   "$ENS" --tta flips --tta-merge mean --ensemble-merge mean --no-temporal-bidi
+  eval_one ens_tta_vote   "$ENS" --tta flips --tta-merge vote --ensemble-merge mean --no-temporal-bidi
+  eval_one flagship       "$ENS" --tta flips --tta-merge vote --ensemble-merge vote --temporal-bidi
 fi
 # single-model TTA merge sweep (VERDICT item 5) on seed 0
 if [ -f "$RUN/s0/.done" ]; then
-  eval_one s0_tta_gmean "$RUN/s0" --tta flips --tta-merge gmean
-  eval_one s0_tta_vote  "$RUN/s0" --tta flips --tta-merge vote
-  eval_one s0_tta_mean  "$RUN/s0" --tta flips
-fi
-if [ -f "$RUN/s0/.done" ] && [ -f "$RUN/s1/.done" ] && [ -f "$RUN/s2/.done" ]; then
-  ENS="$RUN/s0,$RUN/s1,$RUN/s2"
-  eval_one ens_tta_vote "$ENS" --tta flips --tta-merge vote
+  eval_one s0_tta_gmean "$RUN/s0" --tta flips --tta-merge gmean --no-temporal-bidi
+  eval_one s0_tta_vote  "$RUN/s0" --tta flips --tta-merge vote --no-temporal-bidi
+  eval_one s0_tta_mean  "$RUN/s0" --tta flips --tta-merge mean --no-temporal-bidi
 fi
 
 log "collecting summaries"

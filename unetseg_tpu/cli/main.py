@@ -174,10 +174,19 @@ def cmd_train(args) -> int:
     want_mesh = args.mesh or "auto"
     import jax
 
-    if want_mesh == "on" or (want_mesh == "auto" and len(jax.devices()) > 1):
+    n_dev = len(jax.devices())
+    divisible = cfg.train.batch_size % n_dev == 0
+    if want_mesh == "on" or (want_mesh == "auto" and n_dev > 1 and divisible):
         from unetseg_tpu.core.mesh import make_mesh
 
         mesh = make_mesh(cfg.mesh)
+    elif want_mesh == "auto" and n_dev > 1:
+        # GSPMD shards the batch dim over the data axis; auto mode must not
+        # build a mesh the batch cannot divide (crashes in device_put)
+        print(f"note: {n_dev} devices visible but batch_size "
+              f"{cfg.train.batch_size} is not divisible; training "
+              f"single-device (--mesh on + a divisible --batch-size to "
+              f"parallelize)")
 
     data = None
     if args.sequences:
@@ -255,8 +264,11 @@ def cmd_predict(args) -> int:
         marker_frac=args.marker_frac,
         device_cc=args.device_cc,
         temporal_markers=args.temporal_markers or icfg.temporal_markers,
-        temporal_bidi=getattr(args, "temporal_bidi", None)
-        or icfg.temporal_bidi,
+        # explicit flag (True OR False) beats the config; absent -> config
+        temporal_bidi=(
+            args.temporal_bidi if getattr(args, "temporal_bidi", None)
+            is not None else icfg.temporal_bidi
+        ),
     )
     print(f"\nwrote {len(written)} files -> {masks_dir} , {inst_dir}")
     return 0
@@ -658,8 +670,10 @@ def cmd_pipeline(args) -> int:
             pred_flags += ["--tta", args.tta]
         if getattr(args, "tta_merge", None):
             pred_flags += ["--tta-merge", args.tta_merge]
-        if getattr(args, "temporal_bidi", None):
+        if getattr(args, "temporal_bidi", None) is True:
             pred_flags += ["--temporal-bidi"]
+        elif getattr(args, "temporal_bidi", None) is False:
+            pred_flags += ["--no-temporal-bidi"]
         if getattr(args, "ensemble_merge", None):
             pred_flags += ["--ensemble-merge", args.ensemble_merge]
         rc = main(
@@ -816,6 +830,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="backward temporal sweep: propagate later frames' "
                          "instance boundaries back so early frames split "
                          "too (needs --temporal-markers)")
+    sp.add_argument("--no-temporal-bidi", dest="temporal_bidi",
+                    action="store_const", const=False,
+                    help="explicitly disable the backward sweep (overrides "
+                         "a --config that enables it)")
     sp.add_argument("--ensemble-merge", dest="ensemble_merge",
                     choices=["mean", "gmean", "vote"], default=None,
                     help="deep-ensemble member merge (binary head): mean, "
@@ -1007,6 +1025,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="forwarded to predict")
     sp.add_argument("--temporal-bidi", dest="temporal_bidi",
                     action="store_const", const=True, default=None,
+                    help="forwarded to predict")
+    sp.add_argument("--no-temporal-bidi", dest="temporal_bidi",
+                    action="store_const", const=False,
                     help="forwarded to predict")
     sp.add_argument("--ensemble-merge", dest="ensemble_merge",
                     choices=["mean", "gmean", "vote"], default=None,

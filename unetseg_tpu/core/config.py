@@ -160,6 +160,10 @@ class InferConfig:
     # too. Adoption is strictly more-pieces-only (splits propagate, merges
     # never do). Requires temporal_markers.
     temporal_bidi: bool = False
+    # sweep depth from the sequence start (post/temporal.refine_backward
+    # max_frames): whole-sequence sweeps pre-split dividing parents — a
+    # measured negative (docs/RESULTS.md round 7)
+    temporal_bidi_frames: int = 8
     # test-time augmentation for tiled binary prediction: "none" | "flips"
     # (combine foreground probabilities over the 4 flip transforms before
     # thresholding — infer/tiling.TTA_TRANSFORMS). 4x device compute; the

@@ -458,9 +458,12 @@ class Predictor:
                 mask_path = os.path.join(output_masks_dir, f"mask{num:03d}.tif")
                 write_mask_u8(mask_path, b)
                 written.append(mask_path)
-                if temporal_bidi:
-                    # defer instance writes: the backward sweep needs the
-                    # whole sequence (post/temporal.refine_backward)
+                if temporal_bidi and len(bidi_frames) <= self.cfg.temporal_bidi_frames:
+                    # defer instance writes for the sweep window only
+                    # (frames past temporal_bidi_frames are provably
+                    # untouched by the depth-bounded backward sweep, so
+                    # they write immediately — a crash mid-sequence loses
+                    # at most the first window)
                     bidi_frames.append((num, b, inst))
                 else:
                     inst_path = os.path.join(
@@ -479,6 +482,7 @@ class Predictor:
                 min_size=self.cfg.min_cell_size,
                 marker_frac=marker_frac,
                 area_guard=self.cfg.temporal_area_guard,
+                max_frames=self.cfg.temporal_bidi_frames,
             )
             for (num, _, _), inst in zip(bidi_frames, refined):
                 inst_path = os.path.join(

@@ -136,6 +136,11 @@ def _adopt_more_split(
         nb = np.unique(base[region])
         nc = np.unique(cand[region])
         if len(nc[nc > 0]) > len(nb[nb > 0]):
+            # coverage guard: adopting must not zero pixels base labeled
+            # (cand's min_size pruning can drop a small piece, which would
+            # desynchronize the instance masks from the binary masks)
+            if np.any((cand == 0) & region & (base > 0)):
+                continue
             sub = np.where(region, cand.astype(np.int64), 0)
             ids = np.unique(sub)
             ids = ids[ids > 0]

@@ -113,6 +113,16 @@ class Tracker:
             near 0.5 even fully contained); the asymmetric cover recovers
             divisions whose second daughter lands mostly outside the
             parent (observed at IoU 0.074, cover 0.26)."""
+            if not self.faithful and cfg.division_min_child_frac > 0:
+                # apply the per-daughter area gate AT candidate time: the
+                # exact-count windows below (== max_children - 1,
+                # <= max_children) would otherwise let one >=min_cell_size
+                # fragment (high cover, sub-daughter area) push a true
+                # 2-daughter division past the window and suppress it
+                if curr_areas[j] < (
+                    cfg.division_min_child_frac * prev_areas[i]
+                ):
+                    return False
             if iou[i, j] >= cfg.iou_threshold_division:
                 return True
             cov = cfg.division_child_cover

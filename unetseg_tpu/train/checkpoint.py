@@ -42,12 +42,18 @@ def _manager(directory: str, keep: int, best: bool = True) -> ocp.CheckpointMana
     resume points whenever validation worsened)."""
     kw = {"create": True}
     if jax.process_count() > 1:
-        # writes are primary-gated (Checkpointer._active); scope Orbax's own
-        # barrier syncs to process 0 too, or its CheckpointManager would
-        # block on a collective the gated processes never join. Orbax then
-        # refuses create=True, so make the root directory here.
+        # Writes are primary-gated (Checkpointer._active), but RESTORE-side
+        # managers are built on EVERY process (latest_epoch /
+        # restore_checkpoint on resume). Scope each process's Orbax barrier
+        # syncs to ITSELF — a singleton set makes Orbax skip every
+        # cross-process barrier (a {0}-only set left non-primary processes
+        # waiting on barriers process 0 never joins), and a per-process key
+        # prefix keeps any residual sync keys from colliding. Orbax refuses
+        # create=True with active_processes, so make the root dir here.
+        me = jax.process_index()
         kw["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
-            primary_host=0, active_processes={0},
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f"unetseg_p{me}",
         )
         kw["create"] = False
         os.makedirs(os.path.abspath(directory), exist_ok=True)

@@ -19,7 +19,12 @@ from typing import Any, Dict, Optional, TextIO
 @dataclass
 class MetricsLogger:
     jsonl_path: Optional[str] = None
-    stream: TextIO = sys.stdout
+    # None = CURRENT sys.stdout at log time. A sys.stdout default here
+    # would bind whatever stream exists at class-definition time — under
+    # pytest's capsys that is a capture buffer that gets CLOSED at the
+    # first test's teardown, and every later construction raises
+    # "I/O operation on closed file".
+    stream: Optional[TextIO] = None
     _fh: Optional[TextIO] = None
     _t0: float = field(default_factory=time.time)
 
@@ -36,7 +41,8 @@ class MetricsLogger:
             self._fh.flush()
         if echo:
             parts = [f"{k}={_fmt(v)}" for k, v in record.items() if k != "t"]
-            print("  ".join(parts), file=self.stream, flush=True)
+            print("  ".join(parts), file=self.stream or sys.stdout,
+                  flush=True)
 
     def close(self) -> None:
         if self._fh:
