@@ -81,10 +81,11 @@ def _make_predictor(args, cfg: Config, icfg: InferConfig):
                              "dirs always load each member's best")
         return Predictor.from_checkpoints(
             dirs, model_cfg=_model_cfg(cfg, args), infer_cfg=icfg,
+            ema=getattr(args, "ema", False),
         )
     return Predictor.from_checkpoint(
         args.checkpoint_dir, model_cfg=_model_cfg(cfg, args), infer_cfg=icfg,
-        epoch=args.epoch,
+        epoch=args.epoch, ema=getattr(args, "ema", False),
     )
 
 
@@ -143,7 +144,7 @@ def cmd_train(args) -> int:
         ("epochs", "num_epochs"), ("batch_size", "batch_size"),
         ("lr", "learning_rate"), ("seed", "seed"),
         ("checkpoint_dir", "checkpoint_dir"), ("metrics_jsonl", "metrics_jsonl"),
-        ("optimizer", "optimizer"),
+        ("optimizer", "optimizer"), ("ema_decay", "ema_decay"),
     ]:
         v = getattr(args, flag)
         if v is not None:
@@ -176,6 +177,15 @@ def cmd_train(args) -> int:
 
     n_dev = len(jax.devices())
     divisible = cfg.train.batch_size % n_dev == 0
+    if want_mesh == "on" and not divisible:
+        # same fail-fast as auto mode: GSPMD shards the batch dim over the
+        # data axis, and an indivisible batch dies later in device_put with
+        # an opaque partitioning error
+        raise SystemExit(
+            f"error: --mesh on with batch_size {cfg.train.batch_size} not "
+            f"divisible by the {n_dev} visible devices; pick a divisible "
+            f"--batch-size"
+        )
     if want_mesh == "on" or (want_mesh == "auto" and n_dev > 1 and divisible):
         from unetseg_tpu.core.mesh import make_mesh
 
@@ -676,6 +686,8 @@ def cmd_pipeline(args) -> int:
             pred_flags += ["--no-temporal-bidi"]
         if getattr(args, "ensemble_merge", None):
             pred_flags += ["--ensemble-merge", args.ensemble_merge]
+        if getattr(args, "ema", False):
+            pred_flags += ["--ema"]
         rc = main(
             ["predict", *cfg_flags, "--data-root", data_root,
              "--sequence", seq, "--checkpoint-dir", ckpt_dir,
@@ -747,6 +759,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-augment", action="store_true")
     sp.add_argument("--resume", action="store_true")
     sp.add_argument("--optimizer", choices=["sgd", "adam", "adamw"], default=None)
+    sp.add_argument("--ema-decay", dest="ema_decay", type=float, default=None,
+                    help="parameter EMA decay (0 disables; shadow saved "
+                         "alongside raw weights, evaluate with predict --ema)")
     sp.add_argument("--cosine", action="store_true", help="cosine lr decay")
     sp.add_argument("--standardize", action="store_true",
                     help="per-frame z-score input standardization")
@@ -780,6 +795,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("infer", help="segment one image")
     _add_common(sp)
     sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--ema", action="store_true", help="load the EMA weight shadow instead of the raw weights (requires TrainConfig.ema_decay > 0 at training time)")
     sp.add_argument("--torch-checkpoint", default=None,
                     help="reference-format .pth state dict (migration path)")
     sp.add_argument("--input", required=True)
@@ -799,6 +815,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default=None,
                     help="one dir, or comma-separated dirs for a deep "
                          "ensemble (member probabilities averaged on device)")
+    sp.add_argument("--ema", action="store_true", help="load the EMA weight shadow instead of the raw weights (requires TrainConfig.ema_decay > 0 at training time)")
     sp.add_argument("--torch-checkpoint", default=None,
                     help="reference-format .pth state dict (migration path)")
     sp.add_argument("--data-root", default=None)
@@ -907,6 +924,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("evaluate", help="IoU/Dice against silver truth")
     _add_common(sp)
     sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--ema", action="store_true", help="load the EMA weight shadow instead of the raw weights (requires TrainConfig.ema_decay > 0 at training time)")
     sp.add_argument("--torch-checkpoint", default=None,
                     help="reference-format .pth state dict (migration path)")
     sp.add_argument("--data-root", default=None)
@@ -1032,6 +1050,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ensemble-merge", dest="ensemble_merge",
                     choices=["mean", "gmean", "vote"], default=None,
                     help="forwarded to predict")
+    sp.add_argument("--ema", action="store_true",
+                    help="forwarded to predict: evaluate the EMA weight shadow")
     sp.set_defaults(fn=cmd_pipeline)
 
     return p

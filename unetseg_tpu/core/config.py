@@ -113,6 +113,15 @@ class TrainConfig:
     # the Flax step to 1.2e-5 after one SGD update (tools/
     # lanes_train_parity_native.py on the chip).
     lanes: str = "auto"
+    # Exponential moving average of params + BN stats (0 disables). The
+    # shadow updates after every optimizer step with the debiased schedule
+    # d_t = min(ema_decay, (1+t)/(10+t)) (the classic tf.train
+    # ExponentialMovingAverage num_updates rule), so short runs are not
+    # stuck near the init. Saved alongside the raw weights in both
+    # checkpoint streams; evaluate with `predict --ema`. Motivation: the
+    # recipe's seq-02 SEG spreads +-0.03 across seeds (docs/RESULTS.md) —
+    # weight averaging is the standard variance reducer.
+    ema_decay: float = 0.0
     # Device-resident data feed: put the whole dataset in HBM once and
     # lax.scan the step over each epoch's index matrix (ONE dispatch per
     # epoch, no per-step host->device batch transfer — the remote-tunnel

@@ -523,6 +523,7 @@ class Predictor:
         infer_cfg: Optional[InferConfig] = None,
         epoch: Optional[int] = None,
         mesh: Optional[MeshSpec] = None,
+        ema: bool = False,
     ) -> "Predictor":
         from unetseg_tpu.train.checkpoint import restore_params_for_inference
         from unetseg_tpu.train.state import create_train_state
@@ -534,7 +535,7 @@ class Predictor:
             input_size=(infer_cfg or InferConfig()).image_size, model=model,
         )
         params, batch_stats = restore_params_for_inference(
-            checkpoint_dir, template, epoch=epoch
+            checkpoint_dir, template, epoch=epoch, ema=ema
         )
         return cls(
             model=model, params=params, batch_stats=batch_stats,
@@ -548,6 +549,7 @@ class Predictor:
         model_cfg: Optional[ModelConfig] = None,
         infer_cfg: Optional[InferConfig] = None,
         mesh: Optional[MeshSpec] = None,
+        ema: bool = False,
     ) -> "Predictor":
         """Deep-ensemble predictor over several trained checkpoints (e.g.
         the per-seed best checkpoints of a multi-seed recipe run): member
@@ -557,7 +559,7 @@ class Predictor:
         if len(checkpoint_dirs) == 1:
             return cls.from_checkpoint(
                 checkpoint_dirs[0], model_cfg=model_cfg,
-                infer_cfg=infer_cfg, mesh=mesh,
+                infer_cfg=infer_cfg, mesh=mesh, ema=ema,
             )
         from unetseg_tpu.train.checkpoint import restore_params_for_inference
         from unetseg_tpu.train.state import create_train_state
@@ -570,7 +572,7 @@ class Predictor:
         )
         params, stats = [], []
         for d in checkpoint_dirs:
-            p, bs = restore_params_for_inference(d, template)
+            p, bs = restore_params_for_inference(d, template, ema=ema)
             params.append(p)
             stats.append(bs)
         return cls(

@@ -117,23 +117,44 @@ def _device_copy(tree, float_dtype=None):
     return _copy_tree(tree)
 
 
-def device_light_payload(state: TrainState) -> Dict[str, Any]:
-    """Donation-safe DEVICE light payload (bf16 params shadow + BN stats):
-    cheap to build (on-device cast/copy), fetched to host later by the
-    Checkpointer's background writer."""
+def _ema_payload(state: TrainState, float_dtype=None) -> Optional[Dict[str, Any]]:
+    """EMA shadow sub-payload (or None when EMA is off). Stored as a
+    SEPARATE Orbax Composite item ("ema") so non-EMA template restores of
+    EMA checkpoints — and vice versa — never hit a tree mismatch."""
+    if state.ema_params is None:
+        return None
     return {
-        "params": _device_copy(state.params, float_dtype=jnp.bfloat16),
-        "batch_stats": _device_copy(state.batch_stats),
+        "params": _device_copy(state.ema_params, float_dtype=float_dtype),
+        "batch_stats": _device_copy(state.ema_batch_stats),
     }
 
 
+def device_light_payload(state: TrainState) -> Dict[str, Any]:
+    """Donation-safe DEVICE light payload (bf16 params shadow + BN stats):
+    cheap to build (on-device cast/copy), fetched to host later by the
+    Checkpointer's background writer. Carries the EMA shadow under "ema"
+    when the state tracks one."""
+    out = {
+        "params": _device_copy(state.params, float_dtype=jnp.bfloat16),
+        "batch_stats": _device_copy(state.batch_stats),
+    }
+    ema = _ema_payload(state, float_dtype=jnp.bfloat16)
+    if ema is not None:
+        out["ema"] = ema
+    return out
+
+
 def device_full_payload(state: TrainState) -> Dict[str, Any]:
-    return {
+    out = {
         "params": _device_copy(state.params),
         "batch_stats": _device_copy(state.batch_stats),
         "opt_state": _device_copy(state.opt_state),
         "step": np.asarray(state.step),
     }
+    ema = _ema_payload(state)
+    if ema is not None:
+        out["ema"] = ema
+    return out
 
 
 def light_payload(state: TrainState) -> Dict[str, Any]:
@@ -143,19 +164,31 @@ def light_payload(state: TrainState) -> Dict[str, Any]:
     donates its input state, so holding a `TrainState` across a later step
     (e.g. a pending-best awaiting its save cooldown) leaves deleted device
     buffers behind — reads then crash or, through the remote tunnel, hang."""
-    return _host_payload({
+    out = {
         "params": _shadow_dtype(state.params, jnp.bfloat16),
         "batch_stats": state.batch_stats,
-    })
+    }
+    if state.ema_params is not None:
+        out["ema"] = {
+            "params": _shadow_dtype(state.ema_params, jnp.bfloat16),
+            "batch_stats": state.ema_batch_stats,
+        }
+    return _host_payload(out)
 
 
 def _full_payload(state: TrainState) -> Dict[str, Any]:
-    return _host_payload({
+    out = {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": np.asarray(state.step),
-    })
+    }
+    if state.ema_params is not None:
+        out["ema"] = {
+            "params": state.ema_params,
+            "batch_stats": state.ema_batch_stats,
+        }
+    return _host_payload(out)
 
 
 class Checkpointer:
@@ -195,14 +228,18 @@ class Checkpointer:
 
     # ------------------------------------------------------------- writer
     def _write(self, stream: str, payload, epoch, val_loss, extra) -> None:
-        payload = jax.device_get(payload)
+        payload = dict(jax.device_get(payload))
+        ema = payload.pop("ema", None)
+        items = {
+            "state": ocp.args.StandardSave(payload),
+            "extra": ocp.args.JsonSave(extra or {}),
+        }
+        if ema is not None:
+            items["ema"] = ocp.args.StandardSave(ema)
         mgr = self._mgr if stream == "light" else self._full
         mgr.save(
             epoch,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardSave(payload),
-                extra=ocp.args.JsonSave(extra or {}),
-            ),
+            args=ocp.args.Composite(**items),
             metrics={"val_loss": float(val_loss)},
         )
 
@@ -329,17 +366,30 @@ def best_epoch(directory: str) -> Optional[int]:
 def _restore_full_from(
     directory: str, state: TrainState, epoch: int
 ) -> Tuple[TrainState, Dict[str, Any]]:
-    mgr = _manager(directory, keep=100)
-    try:
-        restored = mgr.restore(
-            epoch,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(_full_payload(state)),
-                extra=ocp.args.JsonRestore(),
-            ),
-        )
-    finally:
-        mgr.close()
+    template = _full_payload(state)
+    ema_template = template.pop("ema", None)
+
+    def attempt(with_ema: bool):
+        items = {
+            "state": ocp.args.StandardRestore(template),
+            "extra": ocp.args.JsonRestore(),
+        }
+        if with_ema:
+            items["ema"] = ocp.args.StandardRestore(ema_template)
+        mgr = _manager(directory, keep=100)
+        try:
+            return mgr.restore(epoch, args=ocp.args.Composite(**items))
+        finally:
+            mgr.close()
+
+    restored = None
+    if ema_template is not None:
+        try:
+            restored = attempt(True)
+        except Exception:
+            restored = None  # pre-EMA checkpoint into an EMA run: seed below
+    if restored is None:
+        restored = attempt(False)
     st = restored["state"]
     state = state.replace(
         params=st["params"],
@@ -347,6 +397,19 @@ def _restore_full_from(
         opt_state=st["opt_state"],
         step=int(np.asarray(st["step"])),
     )
+    if ema_template is not None:
+        ema = restored.get("ema") if "ema" in restored else None
+        if ema is not None:
+            state = state.replace(
+                ema_params=ema["params"], ema_batch_stats=ema["batch_stats"]
+            )
+        else:
+            # resuming EMA training from a non-EMA checkpoint: restart the
+            # shadow at the restored weights (debias keeps it tracking)
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, st["params"]),
+                ema_batch_stats=jax.tree.map(jnp.copy, st["batch_stats"]),
+            )
     return state, restored.get("extra") or {}
 
 
@@ -382,8 +445,11 @@ def restore_light(
     params_template: Dict[str, Any],
     batch_stats_template: Dict[str, Any],
     epoch: Optional[int] = None,
+    ema: bool = False,
 ) -> Tuple[Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
-    """Restore (params fp32, batch_stats, extra) from the light stream."""
+    """Restore (params fp32, batch_stats, extra) from the light stream.
+    ema=True loads the EMA shadow ("ema" item) instead of the raw weights;
+    checkpoints written without EMA fail with a clear error."""
     mgr = _manager(directory, keep=100)
     if epoch is None:
         epoch = mgr.latest_step()
@@ -394,17 +460,25 @@ def restore_light(
         "params": _shadow_dtype(params_template, jnp.bfloat16),
         "batch_stats": batch_stats_template,
     }
+    item = "ema" if ema else "state"
     try:
         restored = mgr.restore(
             epoch,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(template),
-                extra=ocp.args.JsonRestore(),
-            ),
+            args=ocp.args.Composite(**{
+                item: ocp.args.StandardRestore(template),
+                "extra": ocp.args.JsonRestore(),
+            }),
         )
+    except Exception as e:
+        if ema:
+            raise FileNotFoundError(
+                f"checkpoint {directory} (epoch {epoch}) has no EMA shadow "
+                f"— was it trained with TrainConfig.ema_decay > 0?"
+            ) from e
+        raise
     finally:
         mgr.close()
-    st = restored["state"]
+    st = restored[item]
     params = _shadow_dtype(st["params"], jnp.float32)
     return params, st["batch_stats"], restored.get("extra") or {}
 
@@ -431,6 +505,7 @@ def restore_params_for_inference(
     state: TrainState,
     epoch: Optional[int] = None,
     prefer_best: bool = True,
+    ema: bool = False,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """(params, batch_stats) of the best (default) or given epoch — the
     consumer-side equivalent of the reference's torch.load into eval scripts
@@ -440,15 +515,22 @@ def restore_params_for_inference(
     all); falls back to a legacy full-state root, where the optimizer state
     template must structurally match the checkpoint (SGD momentum vs Adam
     moments differ), so the saved config is read and the template's
-    optimizer rebuilt from it."""
+    optimizer rebuilt from it. ema=True loads the EMA shadow; a missing
+    shadow is a hard error (never a silent raw-weights fallback)."""
     if epoch is None and prefer_best:
         epoch = best_epoch(directory)
     try:
         params, batch_stats, _ = restore_light(
-            directory, state.params, state.batch_stats, epoch
+            directory, state.params, state.batch_stats, epoch, ema=ema
         )
         return params, batch_stats
+    except FileNotFoundError:
+        if ema:
+            raise  # no-EMA-shadow must surface, not fall through to raw
+        pass  # legacy full-state root below
     except Exception:
+        if ema:
+            raise
         pass  # legacy full-state root below
     try:
         saved = read_checkpoint_config(directory, epoch)
