@@ -233,41 +233,94 @@ def main() -> int:
         record["seg_seq01"] = seg.get("seg_seq01")
         record["seg_seq02"] = seg.get("seg_seq02")
         record["seg_source"] = seg.get("source")
+        # Provenance stamp: the SEG triple is a recorded evaluation, not a
+        # live measurement — surface its age and whether it still describes
+        # the shipped recipe / surviving checkpoints, so a stale number is
+        # visible to the driver instead of silently outliving its origins.
+        record["seg_eval_date"] = seg.get("eval_date")
+        stored_hash = seg.get("recipe_hash")
+        record["seg_recipe_current"] = (
+            stored_hash == _recipe_hash() if stored_hash else None
+        )
+        dirs = seg.get("checkpoint_dirs") or []
+        record["seg_checkpoints_present"] = (
+            all(os.path.isdir(d) for d in dirs) if dirs else None
+        )
 
     print(json.dumps(record))
     return 0
 
 
+def _recipe_hash() -> str:
+    """Short content hash of configs/best_recipe.json (provenance stamp)."""
+    import hashlib
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "configs", "best_recipe.json"
+    )
+    try:
+        with open(path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()[:12]
+    except OSError:
+        return ""
+
+
 def _measure_train_step(lo: int, hi: int) -> dict:
-    """Sustained augmented train step (best-recipe settings: full-width
-    bf16 net, batch 4, elastic+intensity aug, standardize) via the same
-    scan-slope method as the inference bench. Returns steps/s + ms/step."""
+    """Sustained augmented train step (the SHIPPED recipe's settings, read
+    from configs/best_recipe.json: full-width bf16 net, batch 4,
+    elastic+intensity aug, standardize) via the same scan-slope method as
+    the inference bench. Returns steps/s + ms/step. Falls back to the
+    last-known recipe values if the config file is absent, so the bench
+    never silently times a stale recipe after a config change."""
     import time
     from functools import partial
+
+    import dataclasses as _dc
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from unetseg_tpu.core.config import Config, TrainConfig
+    from unetseg_tpu.core.config import Config, DataConfig, TrainConfig
     from unetseg_tpu.models.unet import UNet
     from unetseg_tpu.train.loop import lanes_active
     from unetseg_tpu.train.state import create_train_state
     from unetseg_tpu.train.steps import make_train_step
 
+    recipe_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "configs", "best_recipe.json"
+    )
+    recipe = {}
+    if os.path.exists(recipe_path):
+        with open(recipe_path) as f:
+            recipe = json.load(f)
+
+    def section(tp, name, **fallback):
+        known = {f.name for f in _dc.fields(tp)}
+        kw = dict(fallback)
+        kw.update({
+            k: v for k, v in (recipe.get(name) or {}).items() if k in known
+        })
+        return tp(**kw)
+
     cfg = Config()
     model = UNet(cfg=cfg.model)
-    # the step must carry the RECIPE's optimizer (adam + cosine), not the
-    # reference-default SGD — the label says best-recipe steps/s
-    recipe_train = TrainConfig(
-        optimizer="adam", learning_rate=3e-4, cosine_decay=True,
-        num_epochs=40,
+    # the step must carry the RECIPE's optimizer/augmentation — the label
+    # says best-recipe steps/s (fallbacks == the shipped recipe today)
+    recipe_train = section(
+        TrainConfig, "train",
+        optimizer="adam", learning_rate=3e-4, cosine_decay=True, num_epochs=40,
+    )
+    recipe_data = section(
+        DataConfig, "data",
+        augment=True, standardize=True,
+        aug_gamma=0.35, aug_illum=0.15, aug_noise=0.05,
     )
     state0 = create_train_state(
         jax.random.key(0), model_cfg=cfg.model, train_cfg=recipe_train,
         input_size=512, model=model, steps_per_epoch=38,
     )
-    b = cfg.train.batch_size
+    b = recipe_train.batch_size
     imgs = jnp.asarray(np.random.RandomState(0).rand(b, 512, 512), jnp.float32)
     masks = jnp.asarray(
         np.random.RandomState(1).randint(0, 5, (b, 512, 512)), jnp.int32
@@ -277,9 +330,11 @@ def _measure_train_step(lo: int, hi: int) -> dict:
 
     lanes = lanes_active("auto", cfg.model, 512, None, batch_size=b)
     raw = make_train_step(
-        model, donate=False, jit=False, augment=True, standardize=True,
-        aug_gamma=0.35, aug_illum=0.15, aug_noise=0.05, lanes=lanes,
-        remat=None if lanes else cfg.train.remat,
+        model, donate=False, jit=False,
+        augment=recipe_data.augment, standardize=recipe_data.standardize,
+        aug_gamma=recipe_data.aug_gamma, aug_illum=recipe_data.aug_illum,
+        aug_noise=recipe_data.aug_noise, lanes=lanes,
+        remat=None if lanes else recipe_train.remat,
         assume_valid=True,  # the recipe feed divides evenly (152 / 4)
     )
 

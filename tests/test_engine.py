@@ -236,3 +236,19 @@ def test_masks_tiled_tta_flips8(predictor):
     np.testing.assert_array_equal(m[:, ::-1], m_f)
     with pytest.raises(ValueError):
         pred.masks_tiled(np.zeros((1, 40, 50), np.float32))
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [{"tta": "flipz"}, {"tta_merge": "median"}, {"ensemble_merge": "max"}],
+)
+def test_bad_merge_config_fails_at_construction(kw):
+    # a bad tta/merge string must fail when the Predictor is built, not
+    # with a KeyError deep inside the first tiled predict
+    model = UNet(cfg=TINY)
+    v = init_unet(model, jax.random.key(0), input_size=SIZE)
+    with pytest.raises(ValueError, match=next(iter(kw))):
+        Predictor(
+            model=model, params=v["params"], batch_stats=v["batch_stats"],
+            cfg=InferConfig(image_size=SIZE, tile_input=SIZE, **kw),
+        )

@@ -1,21 +1,40 @@
 """Collect round_eval.sh summaries into a results table + results_latest.json.
 
 Usage: python tools/collect_results.py [/root/eval_r5] [--update-latest]
+           [--run-dirs /root/run_r8/s0,/root/run_r8/s1,...]
 
 Prints a markdown table of every run's per-sequence SEG/TRA/DET (rows =
-eval names: s0/s1/s2/ens/...) with 3-seed means, and with --update-latest
-rewrites docs/results_latest.json from the per-seed means (the bench.py SEG
-source of record).
+eval names: s0/s1/s2/ens/flagship/...) with 3-seed means. With
+--update-latest it rewrites docs/results_latest.json (the bench.py SEG
+source of record): the TOP-LEVEL seg/tra keys always carry the SHIPPED
+config's row — "flagship" if present, else "ens" — so a routine refresh can
+never silently replace the flagship ensemble numbers with single-model seed
+means (the single-model means are recorded separately, keyed by eval dir).
+Also stamps provenance (eval date, recipe hash, checkpoint dirs) that
+bench.py surfaces so a stale number is visible to the driver.
 """
+import hashlib
 import json
 import os
 import statistics
 import sys
+from datetime import date
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def main(eval_dir: str, update_latest: bool = False) -> None:
+
+def _recipe_hash() -> str:
+    path = os.path.join(REPO, "configs", "best_recipe.json")
+    try:
+        with open(path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()[:12]
+    except OSError:
+        return ""
+
+
+def main(eval_dir: str, update_latest: bool = False, run_dirs=None) -> None:
     runs = {}
     for name in sorted(os.listdir(eval_dir)):
         p = os.path.join(eval_dir, name, "summary.json")
@@ -46,39 +65,84 @@ def main(eval_dir: str, update_latest: bool = False) -> None:
     seeds = [runs[n] for n in ("s0", "s1", "s2") if n in runs]
     cols_v = [vals_of(s) for s in seeds]
     complete = all(v is not None for c in cols_v for v in c)
+    mean = sd = None
     if len(seeds) >= 2 and complete:
         mean = [statistics.mean(c[i] for c in cols_v) for i in range(6)]
         sd = [statistics.pstdev(c[i] for c in cols_v) for i in range(6)]
         print("| seed mean | " + " | ".join(f"{m:.4f}±{s:.4f}"
                                             for m, s in zip(mean, sd)) + " |")
-        if update_latest:
-            latest = {
-                "seg_seq01": round(mean[0], 4),
-                "tra_seq01": round(mean[1], 4),
-                "seg_seq02": round(mean[3], 4),
-                "tra_seq02": round(mean[4], 4),
-                "source": f"{len(seeds)}-seed best_recipe means, "
-                          f"pipeline eval at {eval_dir}",
-                "note": "machine-readable mirror of the latest shipped-recipe "
-                        "CTC evaluation; update alongside docs/RESULTS.md",
-            }
-            if "ens" in runs:
-                e = vals_of(runs["ens"])
-                latest["ensemble"] = {
-                    "seg_seq01": e[0], "tra_seq01": e[1],
-                    "seg_seq02": e[3], "tra_seq02": e[4],
-                }
-            path = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "docs", "results_latest.json",
-            )
-            with open(path, "w") as f:
-                json.dump(latest, f, indent=1)
-                f.write("\n")
-            print(f"\nwrote {path}")
+
+    if not update_latest:
+        return
+
+    path = os.path.join(REPO, "docs", "results_latest.json")
+    latest = {}
+    if os.path.isfile(path):
+        with open(path) as f:
+            latest = json.load(f)
+
+    round_key = os.path.basename(os.path.normpath(eval_dir))
+    if mean is not None:
+        smm = latest.get("single_model_3seed_means") or {}
+        smm[round_key] = {
+            "seg_seq01": round(mean[0], 4), "tra_seq01": round(mean[1], 4),
+            "seg_seq02": round(mean[3], 4), "tra_seq02": round(mean[4], 4),
+            "spread_seg_seq02": round(sd[3], 4),
+        }
+        latest["single_model_3seed_means"] = smm
+
+    # the top-level keys bench.py reads == the SHIPPED config's numbers
+    shipped = next((n for n in ("flagship", "ens") if n in runs), None)
+    if shipped is not None:
+        v = vals_of(runs[shipped])
+        latest.update({
+            "seg_seq01": v[0], "tra_seq01": v[1],
+            "seg_seq02": v[3], "tra_seq02": v[4],
+            "source": (
+                f"shipped config (configs/best_recipe.json): '{shipped}' "
+                f"eval row, pipeline eval at {eval_dir}"
+            ),
+        })
+    elif mean is not None:
+        latest.update({
+            "seg_seq01": round(mean[0], 4), "tra_seq01": round(mean[1], 4),
+            "seg_seq02": round(mean[3], 4), "tra_seq02": round(mean[4], 4),
+            "source": (
+                f"{len(seeds)}-seed best_recipe SINGLE-MODEL means (no "
+                f"flagship/ens row under {eval_dir}) — below the shipped "
+                f"ensemble config's numbers"
+            ),
+        })
+    if "ens" in runs:
+        e = vals_of(runs["ens"])
+        latest["ensemble"] = {
+            "seg_seq01": e[0], "tra_seq01": e[1],
+            "seg_seq02": e[3], "tra_seq02": e[4],
+        }
+
+    latest["eval_date"] = date.today().isoformat()
+    latest["recipe_hash"] = _recipe_hash()
+    if run_dirs:
+        latest["checkpoint_dirs"] = run_dirs
+    latest["note"] = (
+        "machine-readable mirror of the latest shipped-recipe CTC "
+        "evaluation; update alongside docs/RESULTS.md"
+    )
+    with open(path, "w") as f:
+        json.dump(latest, f, indent=1)
+        f.write("\n")
+    print(f"\nwrote {path}")
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    main(args[0] if args else "/root/eval_r5",
-         update_latest="--update-latest" in sys.argv)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("eval_dir", nargs="?", default="/root/eval_r5")
+    ap.add_argument("--update-latest", action="store_true")
+    ap.add_argument("--run-dirs", default=None,
+                    help="comma-separated checkpoint dirs recorded as "
+                         "provenance in results_latest.json")
+    a = ap.parse_args()
+    main(a.eval_dir, update_latest=a.update_latest,
+         run_dirs=[d for d in (a.run_dirs or "").split(",") if d] or None)

@@ -174,9 +174,12 @@ class InferConfig:
     # measured negative (docs/RESULTS.md round 7)
     temporal_bidi_frames: int = 8
     # test-time augmentation for tiled binary prediction: "none" | "flips"
-    # (combine foreground probabilities over the 4 flip transforms before
-    # thresholding — infer/tiling.TTA_TRANSFORMS). 4x device compute; the
-    # reference has no equivalent.
+    # (the 4 axis-flip transforms) | "flips8" (the full D4 group: 4 flips x
+    # transpose, square frames only — best measured TRA/DET at a small SEG
+    # cost, docs/RESULTS.md round 7). Probabilities combine per tta_merge
+    # before thresholding (infer/tiling.TTA_TRANSFORMS). 4x/8x device
+    # compute; the reference has no equivalent. Validated when the
+    # Predictor is constructed.
     tta: str = "none"
     # how TTA probabilities merge (infer/tiling.py): "mean" (arithmetic —
     # smooths cell-cell boundaries), "gmean" (geometric — a near-zero

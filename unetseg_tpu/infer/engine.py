@@ -76,6 +76,24 @@ class Predictor:
     packed: bool = False
 
     def __post_init__(self):
+        # fail at construction, not with a KeyError deep inside a tiled
+        # predict: the merge registries live in infer/tiling.py
+        from unetseg_tpu.infer.tiling import TTA_TRANSFORMS
+
+        if self.cfg.tta not in TTA_TRANSFORMS:
+            raise ValueError(
+                f"InferConfig.tta={self.cfg.tta!r}; expected one of "
+                f"{sorted(TTA_TRANSFORMS)}"
+            )
+        for name in ("tta_merge", "ensemble_merge"):
+            v = getattr(self.cfg, name, "mean")
+            allowed = {"mean", "gmean", "vote", "max"}
+            if name == "ensemble_merge":
+                allowed = {"mean", "gmean", "vote"}
+            if v not in allowed:
+                raise ValueError(
+                    f"InferConfig.{name}={v!r}; expected one of {sorted(allowed)}"
+                )
         # Variables are passed as jit ARGUMENTS, never closed over: closure
         # capture would inline ~62 MB of weights as compile-time constants
         # (slow remote compiles; once crashed the TPU tunnel backend).

@@ -24,8 +24,11 @@ def pairwise_iou(
     ascending (np.unique order, matching the reference's
     get_mask_properties iteration order, reference: scripts/track.py:53-54).
     With return_areas, appends the per-object pixel areas
-    (prev_areas (P,), curr_areas (C,)) — free by-products of the joint
-    histogram, used by the tracker's division area gate.
+    (prev_areas (P,), curr_areas (C,)) and the exact integer intersection
+    matrix (inter (P, C) float64 of pixel counts) — free by-products of the
+    joint histogram, used by the tracker's division area gate and
+    daughter-cover test (reconstructing the intersection from the rounded
+    IoU put float error exactly at the cover decision boundary).
     """
     p = np.asarray(prev_mask).ravel()
     c = np.asarray(curr_mask).ravel()
@@ -38,7 +41,7 @@ def pairwise_iou(
     if np_ == 0 or nc == 0:
         empty = (np.zeros((np_, nc)), list(p_labels), list(c_labels))
         if return_areas:
-            return empty + (np.zeros(np_), np.zeros(nc))
+            return empty + (np.zeros(np_), np.zeros(nc), np.zeros((np_, nc)))
         return empty
 
     # dense index encoding: 0 = background, 1..n = object index
@@ -58,5 +61,5 @@ def pairwise_iou(
         iou = np.where(union > 0, inter / union, 0.0)
     out = (iou, [int(x) for x in p_labels], [int(x) for x in c_labels])
     if return_areas:
-        return out + (area_p[:, 0], area_c[0, :])
+        return out + (area_p[:, 0], area_c[0, :], inter)
     return out

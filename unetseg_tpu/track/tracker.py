@@ -89,8 +89,8 @@ class Tracker:
             self._finish_frame(mask, assignment)
             return assignment
 
-        iou, prev_labels, curr_labels, prev_areas, curr_areas = pairwise_iou(
-            st.prev_mask, mask, return_areas=True
+        iou, prev_labels, curr_labels, prev_areas, curr_areas, inter_m = (
+            pairwise_iou(st.prev_mask, mask, return_areas=True)
         )
         n_prev, n_curr = len(prev_labels), len(curr_labels)
 
@@ -128,10 +128,9 @@ class Tracker:
             cov = cfg.division_child_cover
             if self.faithful or cov <= 0 or curr_areas[j] == 0:
                 return False
-            inter = iou[i, j] * (prev_areas[i] + curr_areas[j]) / (
-                1.0 + iou[i, j]
-            )
-            return inter / curr_areas[j] >= cov
+            # exact pixel intersection from the joint histogram — not the
+            # float-roundtripped iou*(A+B)/(1+iou) reconstruction
+            return inter_m[i, j] / curr_areas[j] >= cov
 
         assignment: Dict[int, int] = {}
         matched_prev: set = set()
