@@ -605,6 +605,34 @@ def cmd_visualize_augmentation(args) -> int:
     return 0
 
 
+# ------------------------------------------------------------- rescue-labels
+def cmd_rescue_labels(args) -> int:
+    """Faint-cell label rescue (data/rescue.py): build a parallel data root
+    whose silver labels are augmented with gold-TRA-marker-seeded cores +
+    ignore annuli for the cells the silver truth misses. Train against the
+    overlay root; evaluate the OTHER sequence (leak-free)."""
+    from unetseg_tpu.data.rescue import build_overlay_root
+
+    stats = build_overlay_root(
+        args.data_root,
+        args.output_root,
+        rescue_sequences=args.rescue_sequences,
+        passthrough_sequences=args.passthrough_sequences or [],
+        cover_thresh=args.cover_thresh,
+        core_radius=args.core_radius,
+        ignore_radius=args.ignore_radius,
+        core_weight=args.core_weight,
+    )
+    for seq, st in stats.items():
+        print(
+            f"seq {seq}: {st.markers_missing} missing markers rescued in "
+            f"{st.frames_rescued}/{st.frames_seen} frames "
+            f"({st.core_px} core px, {st.ignore_px} ignore px)"
+        )
+    print(f"overlay root ready: {args.output_root}")
+    return 0
+
+
 # -------------------------------------------------------------------- export
 def cmd_export(args) -> int:
     from unetseg_tpu.infer.export import export_inference, save_exported
@@ -991,6 +1019,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sigma", type=float, default=20.0)
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_visualize_augmentation)
+
+    sp = sub.add_parser(
+        "rescue-labels",
+        help="gold-marker-seeded faint-cell label rescue into an overlay "
+             "data root (train against it; evaluate the OTHER sequence)",
+    )
+    sp.add_argument("--data-root", required=True)
+    sp.add_argument("--output-root", required=True)
+    sp.add_argument("--rescue-sequences", nargs="+", required=True,
+                    help="sequences whose labels get rescued from their "
+                         "gold TRA markers (leaks into THEIR eval)")
+    sp.add_argument("--passthrough-sequences", nargs="*", default=None,
+                    help="sequences symlinked verbatim (silver labels)")
+    sp.add_argument("--cover-thresh", type=float, default=0.5)
+    sp.add_argument("--core-radius", type=float, default=30.0)
+    sp.add_argument("--ignore-radius", type=float, default=70.0)
+    sp.add_argument("--core-weight", type=float, default=3.0)
+    sp.set_defaults(fn=cmd_rescue_labels)
 
     sp = sub.add_parser(
         "export",
