@@ -159,3 +159,95 @@ def test_conv_dense_train_grads_with_garbage_tail():
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), atol=3e-3,
                                rtol=1e-4)
+
+
+def test_dec0_fused_train_matches_lax():
+    """Fused decoder-entry conv (crop+concat folded into the kernels):
+    forward and ALL gradients vs jax autodiff of the NHWC composition."""
+    from unetseg_tpu.ops.pallas.conv3x3_train import make_dec0_p2_train
+
+    ns, nu, cis, ciu, co = 20, 12, 8, 8, 16
+    row_off = (ns - nu) // 2   # 4 (even; lane_off = 2)
+    rs = np.random.RandomState(3)
+    skip = jnp.asarray(rs.rand(2, ns, ns, cis).astype(np.float32))
+    up = jnp.asarray(rs.rand(2, nu, nu, ciu).astype(np.float32))
+    w = jnp.asarray((rs.rand(3, 3, cis + ciu, co) - 0.5).astype(np.float32))
+    bb = jnp.asarray((rs.rand(co) - 0.5).astype(np.float32))
+    ct = jnp.asarray(rs.rand(2, nu - 2, nu - 2, co).astype(np.float32))
+    stride = lane_stride(-(-ns // 2))
+    fused = make_dec0_p2_train(
+        stride, up_w=nu, row_off=row_off, lane_off=row_off // 2,
+        interpret=True,
+    )
+
+    def loss_lanes(skip, up, w, bb):
+        z = fused(to_lanes_p2(skip), to_lanes_p2(up), w, bb)
+        zv = from_lanes_p2(z[: nu - 2], 2, nu - 2)
+        return jnp.sum(zv * ct)
+
+    def loss_ref(skip, up, w, bb):
+        crop = skip[:, row_off : row_off + nu, row_off : row_off + nu]
+        cat = jnp.concatenate([crop, up], axis=-1)
+        z = jax.lax.conv_general_dilated(
+            cat, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bb
+        return jnp.sum(z * ct)
+
+    v_lanes = loss_lanes(skip, up, w, bb)
+    v_ref = loss_ref(skip, up, w, bb)
+    np.testing.assert_allclose(float(v_lanes), float(v_ref), rtol=1e-5)
+    g_lanes = jax.grad(loss_lanes, argnums=(0, 1, 2, 3))(skip, up, w, bb)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(skip, up, w, bb)
+    for got, ref, name, tol in zip(
+        g_lanes, g_ref, ("dskip", "dup", "dw", "db"),
+        (2e-4, 2e-4, 3e-3, 3e-3),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=tol, rtol=1e-4,
+            err_msg=name,
+        )
+
+
+def test_dec0_fused_train_garbage_up_rows():
+    """The up operand rides raw-rows tconv buffers whose tail rows can be
+    uninitialized (NaN) — gradients must stay exact."""
+    from unetseg_tpu.ops.pallas.conv3x3_train import make_dec0_p2_train
+
+    ns, nu, cis, ciu, co = 20, 12, 8, 8, 16
+    row_off = (ns - nu) // 2
+    rs = np.random.RandomState(4)
+    skip = jnp.asarray(rs.rand(2, ns, ns, cis).astype(np.float32))
+    up = jnp.asarray(rs.rand(2, nu, nu, ciu).astype(np.float32))
+    w = jnp.asarray((rs.rand(3, 3, cis + ciu, co) - 0.5).astype(np.float32))
+    bb = jnp.asarray((rs.rand(co) - 0.5).astype(np.float32))
+    ct = jnp.asarray(rs.rand(2, nu - 2, nu - 2, co).astype(np.float32))
+    stride = lane_stride(-(-ns // 2))
+    fused = make_dec0_p2_train(
+        stride, up_w=nu, row_off=row_off, lane_off=row_off // 2,
+        interpret=True,
+    )
+    up_l = to_lanes_p2(up)
+    garbage = jnp.full((6, up_l.shape[1], up_l.shape[2]), jnp.nan, up_l.dtype)
+    up_lg = jnp.concatenate([up_l, garbage], axis=0)
+
+    def loss(skip, w, bb):
+        z = fused(to_lanes_p2(skip), up_lg, w, bb)
+        zv = from_lanes_p2(z[: nu - 2], 2, nu - 2)
+        return jnp.sum(zv * ct)
+
+    def loss_ref(skip, w, bb):
+        crop = skip[:, row_off : row_off + nu, row_off : row_off + nu]
+        cat = jnp.concatenate([crop, up], axis=-1)
+        z = jax.lax.conv_general_dilated(
+            cat, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bb
+        return jnp.sum(z * ct)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(skip, w, bb)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(skip, w, bb)
+    for got, ref, name in zip(g, g_ref, ("dskip", "dw", "db")):
+        assert np.isfinite(np.asarray(got)).all(), name
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-3, rtol=1e-4,
+            err_msg=name,
+        )

@@ -88,6 +88,17 @@ def _bn_stats_lanes(z, nch, h_valid, w_valid, item_mask, item_stride,
     return mean, var, n
 
 
+def _use_fused_dec0() -> bool:
+    """Fused decoder-entry conv for the TRAIN dec3 block (custom-VJP
+    dec_conv0_phase2 + conv3x3_dec0_dw): the skip center-crop folds into
+    DMA offsets + lane rolls instead of a full-tensor jnp.roll + concat.
+    Parity pinned by tests/test_conv3x3_train.py and test_lanes_train.py.
+    UNETSEG_DEC0_FUSED=0 restores the roll+concat composition (A/B)."""
+    import os
+
+    return os.environ.get("UNETSEG_DEC0_FUSED", "1") == "1"
+
+
 def _use_fused_bn() -> bool:
     """Fused custom-VJP BN+ReLU (ops/fused_bn.py) — collapses the BN
     statistics/backward to the minimum pass count (~14 ms of loop-fusion
@@ -558,22 +569,41 @@ def train_forward_lanes(
     tconv = make_tconv_p2_train(st0, interpret=interpret)
     up_l = tconv(tl, pu["kernel"].astype(dtype), pu["bias"].astype(dtype))
 
-    # crop skip0 to the up geometry: static row slice + phase-preserving
-    # lane roll (even column offsets only — supports() guards)
     row_off = (sh.encoder[0] - up_w) // 2
-    crop = jnp.roll(skip0, -(row_off // 2), axis=2)[row_off : row_off + up_w + 2]
-    # mask the up buffer's garbage (rows beyond up_w, dead tail lanes) so
-    # the concat-conv's dW contraction can't see uninitialized memory;
-    # the crop is real data everywhere it is read
-    upv = up_l[: up_w + 2]  # keep one spare pair of rows for the window
-    cat = jnp.concatenate(
-        [crop[:, :f0], upv[:, :f0], crop[:, f0:], upv[:, f0:]], axis=1
-    )
-    convd0 = make_conv_p2_train(st0, up_w, interpret=interpret)
-    zd0 = convd0(
-        cat, params[f"dec{dlast}"]["conv0"]["kernel"],
-        params[f"dec{dlast}"]["conv0"]["bias"],
-    )
+    if _use_fused_dec0():
+        # fused decoder entry: the skip's center crop folds into the
+        # kernels' DMA row offsets + lane rolls (fwd dec_conv0_phase2, bwd
+        # conv3x3_dec0_dw) — neither the crop nor the concat is ever
+        # materialized. The XLA composition below rolled the FULL 133 MB
+        # skip0 tensor and wrote a 173 MB concat every step.
+        from unetseg_tpu.ops.pallas.conv3x3_train import make_dec0_p2_train
+
+        dec0 = make_dec0_p2_train(
+            st0, up_w, row_off, row_off // 2,
+            skip_rows_valid=sh.encoder[0], interpret=interpret,
+        )
+        zd0 = dec0(
+            skip0, up_l, params[f"dec{dlast}"]["conv0"]["kernel"],
+            params[f"dec{dlast}"]["conv0"]["bias"],
+        )
+    else:
+        # crop skip0 to the up geometry: static row slice + phase-preserving
+        # lane roll (even column offsets only — supports() guards)
+        crop = jnp.roll(
+            skip0, -(row_off // 2), axis=2
+        )[row_off : row_off + up_w + 2]
+        # mask the up buffer's garbage (rows beyond up_w, dead tail lanes)
+        # so the concat-conv's dW contraction can't see uninitialized
+        # memory; the crop is real data everywhere it is read
+        upv = up_l[: up_w + 2]  # keep one spare pair of rows for the window
+        cat = jnp.concatenate(
+            [crop[:, :f0], upv[:, :f0], crop[:, f0:], upv[:, f0:]], axis=1
+        )
+        convd0 = make_conv_p2_train(st0, up_w, interpret=interpret)
+        zd0 = convd0(
+            cat, params[f"dec{dlast}"]["conv0"]["kernel"],
+            params[f"dec{dlast}"]["conv0"]["bias"],
+        )
     hd0, bnd0 = _bn_relu_lanes(
         zd0, params[f"dec{dlast}"]["bn0"], batch_stats[f"dec{dlast}"]["bn0"],
         up_w - 2, up_w - 2, item_mask, st0, mom, eps,

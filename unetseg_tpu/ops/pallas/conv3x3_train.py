@@ -520,3 +520,265 @@ def make_conv_p2_train(item_stride: int, h_valid: int, interpret: bool = False):
 
     conv.defvjp(fwd, bwd)
     return conv
+
+
+# ------------------------------------------------ fused decoder-entry VJP
+def _dw_acc_reassemble(acc, cix, co):
+    """(2, 3*2*cix, 2*co) phase2 dW accumulators -> (3, 3, cix, co) via the
+    forward tap table (shared by conv3x3_phase2_dw and the dec0 dW)."""
+    a = acc.reshape(2, 3, 2, cix, 2, co)  # [s, ky, q, ci, p, co]
+    dw0 = a[0, :, 0, :, 0] + a[0, :, 1, :, 1]  # kx=0
+    dw1 = a[0, :, 1, :, 0] + a[1, :, 0, :, 1]  # kx=1
+    dw2 = a[1, :, 0, :, 0] + a[1, :, 1, :, 1]  # kx=2
+    return jnp.stack([dw0, dw1, dw2], axis=1)  # (3, 3, ci, co)
+
+
+def _kernel_dw_dec0(skip_ref, up_ref, g_ref, gr_ref, accs_ref, accu_ref,
+                    wins, winu, wing, wingr, shift_buf, sems,
+                    *, lb, cis2, ciu2, co2, nby, nbl, row_off, lane_off):
+    """dW of the decoder-entry conv (conv over concat(crop(skip), up))
+    WITHOUT materializing the crop or the concat: the skip window DMAs at
+    the static row offset and its lanes shift left by `lane_off` in-kernel
+    (f32 upcast -> pltpu.roll -> downcast; rolls are 32-bit-only on this
+    chip). Wrapped garbage lanes multiply the masked-zero tail lanes of g.
+    accs/accu are (2, 3*cis2|3*ciu2, co2) f32 blocks revisited by every
+    grid step (same accumulate-in-place protocol as _kernel_dw)."""
+    by = pl.program_id(0)
+    bl = pl.program_id(1)
+    step = by * nbl + bl
+
+    def dma(ref, win, idx, slot, stp, rows, roff=0):
+        return pltpu.make_async_copy(
+            ref.at[pl.ds(roff + (stp // nbl) * TH, rows), :,
+                   pl.ds((stp % nbl) * lb, lb)],
+            win.at[slot],
+            sems.at[idx, slot],
+        )
+
+    def all4(slot, stp):
+        return (
+            dma(skip_ref, wins, 0, slot, stp, WIN, roff=row_off),
+            dma(up_ref, winu, 1, slot, stp, WIN),
+            dma(g_ref, wing, 2, slot, stp, TH),
+            dma(gr_ref, wingr, 3, slot, stp, TH),
+        )
+
+    @pl.when(step == 0)
+    def _():
+        for d in all4(0, 0):
+            d.start()
+        accs_ref[...] = jnp.zeros_like(accs_ref)
+        accu_ref[...] = jnp.zeros_like(accu_ref)
+
+    @pl.when(step + 1 < nby * nbl)
+    def _():
+        for d in all4((step + 1) % 2, step + 1):
+            d.start()
+
+    for d in all4(step % 2, step):
+        d.wait()
+    ws = wins.at[step % 2]
+    wu = winu.at[step % 2]
+    wg = wing.at[step % 2]
+    wgr = wingr.at[step % 2]
+
+    # shift the skip window's lanes left by lane_off once per grid step
+    # (the crop's column offset; the f32 roundtrip is exact for bf16)
+    for r in range(WIN):
+        row = ws[r].astype(jnp.float32)
+        shift_buf[r] = pltpu.roll(row, lb - lane_off, 1).astype(
+            shift_buf.dtype
+        )
+
+    dn = (((1,), (1,)), ((), ()))
+    for r in range(TH):
+        xs3 = shift_buf[r : r + 3].reshape(3 * cis2, lb)
+        xu3 = wu[r : r + 3].reshape(3 * ciu2, lb)
+        accs_ref[0] += jax.lax.dot_general(
+            xs3, wg[r], dn, preferred_element_type=jnp.float32
+        )
+        accs_ref[1] += jax.lax.dot_general(
+            xs3, wgr[r], dn, preferred_element_type=jnp.float32
+        )
+        accu_ref[0] += jax.lax.dot_general(
+            xu3, wg[r], dn, preferred_element_type=jnp.float32
+        )
+        accu_ref[1] += jax.lax.dot_general(
+            xu3, wgr[r], dn, preferred_element_type=jnp.float32
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("item_stride", "gh_valid", "row_off", "lane_off",
+                     "interpret"),
+)
+def conv3x3_dec0_dw(skip, up, g, gr, item_stride: int, gh_valid: int,
+                    row_off: int, lane_off: int, interpret: bool = False):
+    """Weight gradient of the fused decoder-entry conv.
+
+    skip: (H_s, 2*CI_s, L) 2-phase, RAW (windows read only real cropped
+    rows; wrapped shift garbage meets masked-zero g lanes); up: (H_u,
+    2*CI_u, L) masked (garbage rows/lanes zeroed); g: output grad masked;
+    gr: g rolled right 1. Returns dw (3, 3, CI_s + CI_u, CO) f32, skip
+    channels first (the trained concat-conv order)."""
+    _, cis2, lanes = skip.shape
+    _, ciu2, _ = up.shape
+    cis, ciu = cis2 // 2, ciu2 // 2
+    _, co2, _ = g.shape
+    co = co2 // 2
+    nby = -(-gh_valid // TH)
+    need_s = row_off + (nby - 1) * TH + WIN
+    if need_s > skip.shape[0]:
+        skip = jnp.pad(skip, ((0, need_s - skip.shape[0]), (0, 0), (0, 0)))
+    need_u = (nby - 1) * TH + WIN
+    if need_u > up.shape[0]:
+        up = jnp.pad(up, ((0, need_u - up.shape[0]), (0, 0), (0, 0)))
+    need_g = nby * TH
+    if need_g > g.shape[0]:
+        pad = ((0, need_g - g.shape[0]), (0, 0), (0, 0))
+        g, gr = jnp.pad(g, pad), jnp.pad(gr, pad)
+    isz = skip.dtype.itemsize
+    bpl = (3 * WIN * cis2 + 2 * WIN * ciu2 + 4 * TH * co2) * isz
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
+    nbl = lanes // lb
+
+    kernel = functools.partial(
+        _kernel_dw_dec0, lb=lb, cis2=cis2, ciu2=ciu2, co2=co2,
+        nby=nby, nbl=nbl, row_off=row_off, lane_off=lane_off,
+    )
+    accs, accu = pl.pallas_call(
+        kernel,
+        grid=(nby, nbl),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=(
+            pl.BlockSpec(
+                (2, 3 * cis2, co2), lambda by, bl: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (2, 3 * ciu2, co2), lambda by, bl: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, 3 * cis2, co2), jnp.float32),
+            jax.ShapeDtypeStruct((2, 3 * ciu2, co2), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN, cis2, lb), skip.dtype),
+            pltpu.VMEM((2, WIN, ciu2, lb), up.dtype),
+            pltpu.VMEM((2, TH, co2, lb), g.dtype),
+            pltpu.VMEM((2, TH, co2, lb), g.dtype),
+            pltpu.VMEM((WIN, cis2, lb), skip.dtype),
+            pltpu.SemaphoreType.DMA((4, 2)),
+        ],
+        interpret=interpret,
+    )(skip, up, g, gr)
+    dw_s = _dw_acc_reassemble(accs, cis, co)
+    dw_u = _dw_acc_reassemble(accu, ciu, co)
+    return jnp.concatenate([dw_s, dw_u], axis=2)
+
+
+def make_dec0_p2_train(item_stride: int, up_w: int, row_off: int,
+                       lane_off: int, skip_rows_valid: int = 0,
+                       interpret: bool = False):
+    """Custom-VJP training conv for the decoder ENTRY: 3x3 VALID over
+    concat(center-crop(skip), up) with the crop folded into the kernels'
+    DMA offsets + lane rolls — neither the crop nor the concat is ever
+    materialized (the XLA roll+concat glue cost ~3.4 ms/step, the measured
+    reason tier-2 lost to tier-1; docs/ROADMAP.md #14).
+
+    Returned fn: (skip (H_s, 2*CI_s, L) 2-phase lanes, up (H_u, 2*CI_u, L),
+    w (3, 3, CI_s+CI_u, CO) f32 — skip channels first, b (CO,)) ->
+    z (raw-rows buffer, 2*CO, L) at the UP geometry (valid rows up_w - 2).
+    Gradients flow to all four; d_skip scatters back to the skip frame
+    (zeros outside the crop). reference: models/unet_model.py:23-46 (Up:
+    crop+concat+DoubleConv) is the module this trains."""
+    from unetseg_tpu.ops.pallas.conv3x3 import dec_conv0_phase2
+
+    ho = up_w - 2
+    # dW windows read skip rows [row_off, row_off + (ceil(ho/8)-1)*8 + 10);
+    # rows beyond the caller's valid region can be raw-rows NaN garbage
+    # that poisons the accumulators through NaN*0 — mask only when the
+    # window actually reaches them (never at the 512/700 geometries)
+    need_s = row_off + (-(-ho // TH) - 1) * TH + WIN
+    mask_skip = bool(skip_rows_valid) and need_s > skip_rows_valid
+
+    @jax.custom_vjp
+    def conv(skip, up, w, b):
+        co = w.shape[3]
+        return dec_conv0_phase2(
+            skip, up, w, jnp.ones((co, 1), jnp.float32), b.reshape(-1, 1),
+            item_stride, out_rows=ho, row_off=row_off, lane_off=lane_off,
+            relu=False, interpret=interpret, raw_rows=True, unit_scale=True,
+        )
+
+    def fwd(skip, up, w, b):
+        return conv(skip, up, w, b), (skip, up, w)
+
+    def _mask_p2(t, nch, rows_valid, w_valid):
+        n_items = t.shape[2] // item_stride
+        lane_ids = jnp.arange(item_stride)
+        m0 = jnp.tile(lane_ids < -(-w_valid // 2), n_items)
+        m1 = jnp.tile(lane_ids < w_valid // 2, n_items)
+        rmask = jnp.arange(t.shape[0]) < rows_valid
+        lmask = jnp.concatenate(
+            [jnp.broadcast_to(m0, (nch, t.shape[2])),
+             jnp.broadcast_to(m1, (nch, t.shape[2]))], axis=0
+        )
+        return jnp.where(rmask[:, None, None] & lmask[None], t, 0)
+
+    def bwd(res, g):
+        skip, up, w = res
+        cis = skip.shape[1] // 2
+        ciu = up.shape[1] // 2
+        co = w.shape[3]
+        gm = _mask_p2(g, co, ho, ho)
+        gr = jnp.roll(gm, 1, axis=2)
+        # up garbage rows (raw-rows tconv buffers) can be uninitialized —
+        # mask them; the skip is real data everywhere its windows read
+        um = _mask_p2(up, ciu, up_w, up_w)
+        sm = (
+            jnp.where(
+                (jnp.arange(skip.shape[0]) < skip_rows_valid)[:, None, None],
+                skip, 0,
+            )
+            if mask_skip
+            else skip
+        )
+        dcat = conv3x3_phase2_dx(
+            gm, w, item_stride, gh_valid=ho, out_rows=0,
+            interpret=interpret,
+        )[:up_w]
+        # cat channel layout: [crop_p0 (cis), up_p0 (ciu), crop_p1, up_p1]
+        d_crop = jnp.concatenate(
+            [dcat[:, :cis], dcat[:, cis + ciu : 2 * cis + ciu]], axis=1
+        )
+        d_up = jnp.concatenate(
+            [dcat[:, cis : cis + ciu], dcat[:, 2 * cis + ciu :]], axis=1
+        )
+        if d_up.shape[0] < up.shape[0]:
+            d_up = jnp.pad(
+                d_up, ((0, up.shape[0] - d_up.shape[0]), (0, 0), (0, 0))
+            )
+        else:
+            d_up = d_up[: up.shape[0]]
+        # scatter the crop gradient back into the skip frame: lanes roll
+        # right by lane_off, rows land at [row_off, row_off + up_w)
+        d_skip = jnp.roll(d_crop, lane_off, axis=2)
+        d_skip = jnp.pad(
+            d_skip,
+            ((row_off, max(0, skip.shape[0] - row_off - d_skip.shape[0])),
+             (0, 0), (0, 0)),
+        )[: skip.shape[0]]
+        dw = conv3x3_dec0_dw(
+            sm, um, gm, gr, item_stride, gh_valid=ho,
+            row_off=row_off, lane_off=lane_off, interpret=interpret,
+        )
+        db = jnp.sum(gm, axis=(0, 2), dtype=jnp.float32)
+        db = db[:co] + db[co:]
+        return d_skip, d_up, dw.astype(w.dtype), db.astype(jnp.float32)
+
+    conv.defvjp(fwd, bwd)
+    return conv
