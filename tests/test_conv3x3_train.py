@@ -251,3 +251,55 @@ def test_dec0_fused_train_garbage_up_rows():
             np.asarray(got), np.asarray(ref), atol=3e-3, rtol=1e-4,
             err_msg=name,
         )
+
+
+def test_dec0_dense_fused_train_matches_lax():
+    """Fused DENSE decoder-entry conv (tier-2 dec2): forward + all grads
+    vs lax autodiff of the NHWC composition, odd crop offset allowed."""
+    from unetseg_tpu.ops.pallas.conv3x3 import from_lanes, to_lanes
+    from unetseg_tpu.ops.pallas.conv3x3_train import make_dec0_dense_train
+
+    ns, nu, cis, ciu, co = 21, 12, 8, 8, 16
+    row_off = 3  # odd: dense layout has no parity constraint
+    rs = np.random.RandomState(5)
+    skip = jnp.asarray(rs.rand(2, ns, ns, cis).astype(np.float32))
+    up = jnp.asarray(rs.rand(2, nu, nu, ciu).astype(np.float32))
+    w = jnp.asarray((rs.rand(3, 3, cis + ciu, co) - 0.5).astype(np.float32))
+    bb = jnp.asarray((rs.rand(co) - 0.5).astype(np.float32))
+    ct = jnp.asarray(rs.rand(2, nu - 2, nu - 2, co).astype(np.float32))
+    stride = lane_stride(ns)
+    fused = make_dec0_dense_train(
+        stride, up_w=nu, row_off=row_off, lane_off=row_off,
+        skip_rows_valid=ns, skip_w_valid=ns, interpret=True,
+    )
+
+    def pad_lanes(x):  # dense to_lanes pads width to the stride
+        return to_lanes(jnp.pad(x, ((0, 0), (0, 0), (0, stride - x.shape[2]), (0, 0))))
+
+    def loss_lanes(skip, up, w, bb):
+        z = fused(pad_lanes(skip), pad_lanes(up), w, bb)
+        zv = from_lanes(z[: nu - 2], 2, nu - 2)
+        return jnp.sum(zv * ct)
+
+    def loss_ref(skip, up, w, bb):
+        crop = skip[:, row_off : row_off + nu, row_off : row_off + nu]
+        cat = jnp.concatenate([crop, up], axis=-1)
+        z = jax.lax.conv_general_dilated(
+            cat, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bb
+        return jnp.sum(z * ct)
+
+    np.testing.assert_allclose(
+        float(loss_lanes(skip, up, w, bb)), float(loss_ref(skip, up, w, bb)),
+        rtol=1e-5,
+    )
+    g_lanes = jax.grad(loss_lanes, argnums=(0, 1, 2, 3))(skip, up, w, bb)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(skip, up, w, bb)
+    for got, ref, name, tol in zip(
+        g_lanes, g_ref, ("dskip", "dup", "dw", "db"),
+        (2e-4, 2e-4, 3e-3, 3e-3),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=tol, rtol=1e-4,
+            err_msg=name,
+        )

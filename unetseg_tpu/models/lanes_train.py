@@ -527,16 +527,37 @@ def train_forward_lanes(
             u2w + 2, up2.shape[3], b * st0
         )
         off2 = (wp0 - 4 - u2w) // 2
-        # crop skip1 to the up geometry: lane roll + row slice (skip1's
-        # garbage rows are already zeroed by the BN; its garbage lanes are
-        # finite and excluded by the conv's backward masks)
-        crop1 = jnp.roll(skip1_l, -off2, axis=2)[off2 : off2 + u2w + 2]
-        cat2 = jnp.concatenate([crop1, ul.astype(crop1.dtype)], axis=1)
-        convd20 = make_conv_dense_train(st0, u2w, interpret=interpret)
-        zd20 = convd20(
-            cat2, params[f"dec{d2}"]["conv0"]["kernel"],
-            params[f"dec{d2}"]["conv0"]["bias"],
-        )
+        if _use_fused_dec0():
+            # fused dense decoder entry: the skip1 crop folds into the
+            # kernels' DMA offsets + lane rolls (fwd dec_conv0_lanes, bwd
+            # conv3x3_dec0_dense_dw) — the full-tensor roll + concat this
+            # replaces was the measured reason tier-2 lost to tier-1
+            # (docs/ROADMAP.md #14)
+            from unetseg_tpu.ops.pallas.conv3x3_train import (
+                make_dec0_dense_train,
+            )
+
+            dec20 = make_dec0_dense_train(
+                st0, u2w, row_off=off2, lane_off=off2,
+                skip_rows_valid=wp0 - 4, up_rows_valid=u2w,
+                interpret=interpret,
+            )
+            zd20 = dec20(
+                skip1_l, ul.astype(skip1_l.dtype),
+                params[f"dec{d2}"]["conv0"]["kernel"],
+                params[f"dec{d2}"]["conv0"]["bias"],
+            )
+        else:
+            # crop skip1 to the up geometry: lane roll + row slice (skip1's
+            # garbage rows are already zeroed by the BN; its garbage lanes
+            # are finite and excluded by the conv's backward masks)
+            crop1 = jnp.roll(skip1_l, -off2, axis=2)[off2 : off2 + u2w + 2]
+            cat2 = jnp.concatenate([crop1, ul.astype(crop1.dtype)], axis=1)
+            convd20 = make_conv_dense_train(st0, u2w, interpret=interpret)
+            zd20 = convd20(
+                cat2, params[f"dec{d2}"]["conv0"]["kernel"],
+                params[f"dec{d2}"]["conv0"]["bias"],
+            )
         hd20, bnd20 = _bn_relu_lanes_dense(
             zd20, params[f"dec{d2}"]["bn0"], batch_stats[f"dec{d2}"]["bn0"],
             u2w - 2, u2w - 2, item_mask, st0, mom, eps, axis_name=axis_name,

@@ -782,3 +782,212 @@ def make_dec0_p2_train(item_stride: int, up_w: int, row_off: int,
 
     conv.defvjp(fwd, bwd)
     return conv
+
+
+def _kernel_dw_dec0_dense(skip_ref, up_ref, g_ref, g1_ref, g2_ref,
+                          accs_ref, accu_ref, wins, winu, wing, wing1,
+                          wing2, shift_buf, sems, *, lb, cis, ciu, co,
+                          nby, nbl, row_off, lane_off):
+    """Dense-layout dW of the decoder-entry conv (see _kernel_dw_dec0 for
+    the shift/garbage argument; dense = 3 kx g-rolls instead of 2)."""
+    by = pl.program_id(0)
+    bl = pl.program_id(1)
+    step = by * nbl + bl
+
+    def dma(ref, win, idx, slot, stp, rows, roff=0):
+        return pltpu.make_async_copy(
+            ref.at[pl.ds(roff + (stp // nbl) * TH, rows), :,
+                   pl.ds((stp % nbl) * lb, lb)],
+            win.at[slot],
+            sems.at[idx, slot],
+        )
+
+    def all5(slot, stp):
+        return (
+            dma(skip_ref, wins, 0, slot, stp, WIN, roff=row_off),
+            dma(up_ref, winu, 1, slot, stp, WIN),
+            dma(g_ref, wing, 2, slot, stp, TH),
+            dma(g1_ref, wing1, 3, slot, stp, TH),
+            dma(g2_ref, wing2, 4, slot, stp, TH),
+        )
+
+    @pl.when(step == 0)
+    def _():
+        for d in all5(0, 0):
+            d.start()
+        accs_ref[...] = jnp.zeros_like(accs_ref)
+        accu_ref[...] = jnp.zeros_like(accu_ref)
+
+    @pl.when(step + 1 < nby * nbl)
+    def _():
+        for d in all5((step + 1) % 2, step + 1):
+            d.start()
+
+    for d in all5(step % 2, step):
+        d.wait()
+    ws = wins.at[step % 2]
+    wu = winu.at[step % 2]
+    wgs = (wing.at[step % 2], wing1.at[step % 2], wing2.at[step % 2])
+
+    for r in range(WIN):
+        row = ws[r].astype(jnp.float32)
+        shift_buf[r] = pltpu.roll(row, (lb - lane_off) % lb, 1).astype(
+            shift_buf.dtype
+        )
+
+    dn = (((1,), (1,)), ((), ()))
+    for r in range(TH):
+        xs3 = shift_buf[r : r + 3].reshape(3 * cis, lb)
+        xu3 = wu[r : r + 3].reshape(3 * ciu, lb)
+        for s in range(3):
+            accs_ref[s] += jax.lax.dot_general(
+                xs3, wgs[s][r], dn, preferred_element_type=jnp.float32
+            )
+            accu_ref[s] += jax.lax.dot_general(
+                xu3, wgs[s][r], dn, preferred_element_type=jnp.float32
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("item_stride", "gh_valid", "row_off", "lane_off",
+                     "interpret"),
+)
+def conv3x3_dec0_dense_dw(skip, up, g, g1, g2, item_stride: int,
+                          gh_valid: int, row_off: int, lane_off: int,
+                          interpret: bool = False):
+    """Weight gradient of the fused DENSE decoder-entry conv. skip raw,
+    up/g masked, g1/g2 = g rolled right 1/2. Returns (3, 3, CI_s+CI_u, CO)
+    f32, skip channels first."""
+    _, cis, lanes = skip.shape
+    _, ciu, _ = up.shape
+    _, co, _ = g.shape
+    nby = -(-gh_valid // TH)
+    need_s = row_off + (nby - 1) * TH + WIN
+    if need_s > skip.shape[0]:
+        skip = jnp.pad(skip, ((0, need_s - skip.shape[0]), (0, 0), (0, 0)))
+    need_u = (nby - 1) * TH + WIN
+    if need_u > up.shape[0]:
+        up = jnp.pad(up, ((0, need_u - up.shape[0]), (0, 0), (0, 0)))
+    need_g = nby * TH
+    if need_g > g.shape[0]:
+        pad = ((0, need_g - g.shape[0]), (0, 0), (0, 0))
+        g, g1, g2 = jnp.pad(g, pad), jnp.pad(g1, pad), jnp.pad(g2, pad)
+    isz = skip.dtype.itemsize
+    bpl = (3 * WIN * cis + 2 * WIN * ciu + 6 * TH * co) * isz
+    lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
+    nbl = lanes // lb
+
+    kernel = functools.partial(
+        _kernel_dw_dec0_dense, lb=lb, cis=cis, ciu=ciu, co=co,
+        nby=nby, nbl=nbl, row_off=row_off, lane_off=lane_off,
+    )
+    accs, accu = pl.pallas_call(
+        kernel,
+        grid=(nby, nbl),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        out_specs=(
+            pl.BlockSpec(
+                (3, 3 * cis, co), lambda by, bl: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 3 * ciu, co), lambda by, bl: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, 3 * cis, co), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3 * ciu, co), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN, cis, lb), skip.dtype),
+            pltpu.VMEM((2, WIN, ciu, lb), up.dtype),
+            pltpu.VMEM((2, TH, co, lb), g.dtype),
+            pltpu.VMEM((2, TH, co, lb), g.dtype),
+            pltpu.VMEM((2, TH, co, lb), g.dtype),
+            pltpu.VMEM((WIN, cis, lb), skip.dtype),
+            pltpu.SemaphoreType.DMA((5, 2)),
+        ],
+        interpret=interpret,
+    )(skip, up, g, g1, g2)
+    dw_s = accs.reshape(3, 3, cis, co).transpose(1, 0, 2, 3)
+    dw_u = accu.reshape(3, 3, ciu, co).transpose(1, 0, 2, 3)
+    return jnp.concatenate([dw_s, dw_u], axis=2)
+
+
+def make_dec0_dense_train(item_stride: int, up_w: int, row_off: int,
+                          lane_off: int, skip_rows_valid: int = 0,
+                          skip_w_valid: int = 0, up_rows_valid: int = 0,
+                          interpret: bool = False):
+    """Custom-VJP training conv for a DENSE-layout decoder entry (tier-2
+    dec2): conv3x3(concat(crop(skip), up)) with the crop folded into the
+    kernels — the dense counterpart of make_dec0_p2_train. `up_rows_valid`
+    defaults to up_w (tconv raw-rows buffers); `skip_w_valid` bounds the
+    skip's real columns for the backward masks."""
+    from unetseg_tpu.ops.pallas.conv3x3 import dec_conv0_lanes
+
+    ho = up_w - 2
+    urv = up_rows_valid or up_w
+    need_s = row_off + (-(-ho // TH) - 1) * TH + WIN
+    mask_skip = bool(skip_rows_valid) and need_s > skip_rows_valid
+
+    @jax.custom_vjp
+    def conv(skip, up, w, b):
+        co = w.shape[3]
+        return dec_conv0_lanes(
+            skip, up, w, jnp.ones((co, 1), jnp.float32), b.reshape(-1, 1),
+            item_stride, out_rows=ho, row_off=row_off, lane_off=lane_off,
+            relu=False, interpret=interpret, raw_rows=True,
+        )
+
+    def fwd(skip, up, w, b):
+        return conv(skip, up, w, b), (skip, up, w)
+
+    def _mask_dense(t, rows_valid, cols_valid):
+        n_items = t.shape[2] // item_stride
+        lm = jnp.tile(jnp.arange(item_stride) < cols_valid, n_items)
+        rm = jnp.arange(t.shape[0]) < rows_valid
+        return jnp.where(rm[:, None, None] & lm[None, None, :], t, 0)
+
+    def bwd(res, g):
+        skip, up, w = res
+        cis = skip.shape[1]
+        co = w.shape[3]
+        gm = _mask_dense(g, ho, up_w - 2)
+        g1 = jnp.roll(gm, 1, axis=2)
+        g2 = jnp.roll(gm, 2, axis=2)
+        um = _mask_dense(up, urv, up_w)
+        sm = (
+            jnp.where(
+                (jnp.arange(skip.shape[0]) < skip_rows_valid)[:, None, None],
+                skip, 0,
+            )
+            if mask_skip
+            else skip
+        )
+        dcat = conv3x3_dense_dx(
+            gm, w, item_stride, gh_valid=ho, out_rows=0, interpret=interpret,
+        )[:up_w]
+        d_crop, d_up = dcat[:, :cis], dcat[:, cis:]
+        if d_up.shape[0] < up.shape[0]:
+            d_up = jnp.pad(
+                d_up, ((0, up.shape[0] - d_up.shape[0]), (0, 0), (0, 0))
+            )
+        else:
+            d_up = d_up[: up.shape[0]]
+        d_skip = jnp.roll(d_crop, lane_off, axis=2)
+        d_skip = jnp.pad(
+            d_skip,
+            ((row_off, max(0, skip.shape[0] - row_off - d_skip.shape[0])),
+             (0, 0), (0, 0)),
+        )[: skip.shape[0]]
+        dw = conv3x3_dec0_dense_dw(
+            sm, um, gm, g1, g2, item_stride, gh_valid=ho,
+            row_off=row_off, lane_off=lane_off, interpret=interpret,
+        )
+        db = jnp.sum(gm, axis=(0, 2), dtype=jnp.float32)
+        return d_skip, d_up, dw.astype(w.dtype), db.astype(jnp.float32)
+
+    conv.defvjp(fwd, bwd)
+    return conv
