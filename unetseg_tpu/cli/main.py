@@ -75,17 +75,18 @@ def _make_predictor(args, cfg: Config, icfg: InferConfig):
         raise SystemExit("error: --checkpoint-dir or --torch-checkpoint required")
     # comma-separated dirs = deep ensemble (probabilities averaged on device)
     dirs = [d for d in args.checkpoint_dir.split(",") if d]
+    use_ema = getattr(args, "ema", False) or getattr(icfg, "use_ema", False)
     if len(dirs) > 1:
         if args.epoch is not None:
             raise SystemExit("error: --epoch is per-checkpoint; ensemble "
                              "dirs always load each member's best")
         return Predictor.from_checkpoints(
             dirs, model_cfg=_model_cfg(cfg, args), infer_cfg=icfg,
-            ema=getattr(args, "ema", False),
+            ema=use_ema,
         )
     return Predictor.from_checkpoint(
         args.checkpoint_dir, model_cfg=_model_cfg(cfg, args), infer_cfg=icfg,
-        epoch=args.epoch, ema=getattr(args, "ema", False),
+        epoch=args.epoch, ema=use_ema,
     )
 
 

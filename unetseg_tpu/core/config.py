@@ -187,6 +187,12 @@ class InferConfig:
     # separating membranes survive), "vote" (per-flip threshold then strict
     # pixel majority, >half the flips), "max" (union — recall-maximizing).
     tta_merge: str = "mean"
+    # load the EMA weight shadow instead of the raw weights (requires
+    # checkpoints trained with TrainConfig.ema_decay > 0). CLI --ema also
+    # turns this on per invocation. Measured round 8: per-seed SEG means
+    # up ~+0.013 on both sequences and the seq-02 seed spread collapses
+    # ~6x (docs/RESULTS.md round-8 table).
+    use_ema: bool = False
     # how deep-ensemble MEMBER probabilities merge (infer/engine.py):
     # "mean" | "gmean" | "vote" — same trade-offs as tta_merge (member
     # disagreement concentrates on the membranes between touching cells).
