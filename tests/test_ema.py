@@ -184,3 +184,35 @@ def test_epoch_scan_updates_ema():
     assert np.isfinite(np.asarray(ms["loss"])).all()
     ema1 = np.asarray(jax.tree.leaves(state.ema_params)[0])
     assert not np.allclose(ema0, ema1)
+
+
+def test_ensemble_raw_plus_ema_members(tmp_path):
+    # ema="both": two members per checkpoint dir (raw + EMA shadow)
+    from unetseg_tpu.core.config import InferConfig
+    from unetseg_tpu.infer.engine import Predictor
+
+    model = UNet(cfg=TINY)
+    state = create_train_state(
+        jax.random.key(0), model_cfg=TINY, train_cfg=EMA,
+        input_size=SIZE, model=model,
+    )
+    step = make_train_step(model, augment=False, donate=False)
+    state, _ = step(state, *_batch(np.random.RandomState(0)), jax.random.key(0))
+    dirs = []
+    for i in range(2):
+        d = str(tmp_path / f"c{i}")
+        ckpt.save_checkpoint(d, state, epoch=0, val_loss=0.5)
+        dirs.append(d)
+    pred = Predictor.from_checkpoints(
+        dirs, model_cfg=TINY,
+        infer_cfg=InferConfig(image_size=SIZE, tile_input=SIZE, min_cell_size=1),
+        ema="both",
+    )
+    assert isinstance(pred.params, list) and len(pred.params) == 4
+    # raw and EMA members genuinely differ
+    a = np.asarray(jax.tree.leaves(pred.params[0])[0])
+    b = np.asarray(jax.tree.leaves(pred.params[1])[0])
+    assert not np.allclose(a, b)
+    imgs = np.random.RandomState(0).rand(1, SIZE, SIZE).astype(np.float32)
+    p = np.asarray(pred.probs(imgs))
+    assert p.shape == (1, 4, 4) and np.isfinite(p).all()

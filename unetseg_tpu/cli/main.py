@@ -76,6 +76,8 @@ def _make_predictor(args, cfg: Config, icfg: InferConfig):
     # comma-separated dirs = deep ensemble (probabilities averaged on device)
     dirs = [d for d in args.checkpoint_dir.split(",") if d]
     use_ema = getattr(args, "ema", False) or getattr(icfg, "use_ema", False)
+    if getattr(args, "ema_both", False) or use_ema == "both":
+        use_ema = "both"
     if len(dirs) > 1:
         if args.epoch is not None:
             raise SystemExit("error: --epoch is per-checkpoint; ensemble "
@@ -717,6 +719,8 @@ def cmd_pipeline(args) -> int:
             pred_flags += ["--ensemble-merge", args.ensemble_merge]
         if getattr(args, "ema", False):
             pred_flags += ["--ema"]
+        if getattr(args, "ema_both", False):
+            pred_flags += ["--ema-both"]
         rc = main(
             ["predict", *cfg_flags, "--data-root", data_root,
              "--sequence", seq, "--checkpoint-dir", ckpt_dir,
@@ -845,6 +849,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="one dir, or comma-separated dirs for a deep "
                          "ensemble (member probabilities averaged on device)")
     sp.add_argument("--ema", action="store_true", help="load the EMA weight shadow instead of the raw weights (requires TrainConfig.ema_decay > 0 at training time)")
+    sp.add_argument("--ema-both", dest="ema_both", action="store_true",
+                    help="ensemble: TWO members per checkpoint dir (raw + "
+                         "EMA shadow) — 2k-member diversity from k seeds")
+
     sp.add_argument("--torch-checkpoint", default=None,
                     help="reference-format .pth state dict (migration path)")
     sp.add_argument("--data-root", default=None)
@@ -1099,6 +1107,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="forwarded to predict")
     sp.add_argument("--ema", action="store_true",
                     help="forwarded to predict: evaluate the EMA weight shadow")
+    sp.add_argument("--ema-both", dest="ema_both", action="store_true",
+                    help="ensemble: TWO members per checkpoint dir (raw + "
+                         "EMA shadow) — 2k-member diversity from k seeds")
     sp.set_defaults(fn=cmd_pipeline)
 
     return p

@@ -567,17 +567,22 @@ class Predictor:
         model_cfg: Optional[ModelConfig] = None,
         infer_cfg: Optional[InferConfig] = None,
         mesh: Optional[MeshSpec] = None,
-        ema: bool = False,
+        ema: Any = False,
     ) -> "Predictor":
         """Deep-ensemble predictor over several trained checkpoints (e.g.
         the per-seed best checkpoints of a multi-seed recipe run): member
         probabilities are averaged on device. The reference has no ensemble
         story; this is the natural use for the seeds its training script
-        varies implicitly (reference: scripts/train.py:34 shuffle)."""
-        if len(checkpoint_dirs) == 1:
+        varies implicitly (reference: scripts/train.py:34 shuffle).
+
+        ema: False = raw weights, True = each member's EMA shadow,
+        "both" = TWO members per checkpoint (raw + EMA) — 2k-member
+        diversity from a k-seed training run."""
+        both = ema == "both"
+        if len(checkpoint_dirs) == 1 and not both:
             return cls.from_checkpoint(
                 checkpoint_dirs[0], model_cfg=model_cfg,
-                infer_cfg=infer_cfg, mesh=mesh, ema=ema,
+                infer_cfg=infer_cfg, mesh=mesh, ema=bool(ema),
             )
         from unetseg_tpu.train.checkpoint import restore_params_for_inference
         from unetseg_tpu.train.state import create_train_state
@@ -590,9 +595,10 @@ class Predictor:
         )
         params, stats = [], []
         for d in checkpoint_dirs:
-            p, bs = restore_params_for_inference(d, template, ema=ema)
-            params.append(p)
-            stats.append(bs)
+            for use in ((False, True) if both else (bool(ema),)):
+                p, bs = restore_params_for_inference(d, template, ema=use)
+                params.append(p)
+                stats.append(bs)
         return cls(
             model=model, params=params, batch_stats=stats,
             cfg=infer_cfg or InferConfig(), mesh=mesh,

@@ -127,11 +127,24 @@ def conv3x3_phase2_dx(g, w_hwio, item_stride: int, gh_valid: int,
     return out
 
 
-def _kernel_dw(x_ref, g_ref, gr_ref, acc_ref, winx, wing, wingr, sems,
+def _roll_right(row, shift):
+    """Lane right-roll of one (C, lb) window row; pltpu.roll is 32-bit-only
+    on this chip, so bf16 rows take an exact f32 roundtrip. The per-block
+    wrap matches the global jnp.roll + mask semantics: lane blocks are
+    item-aligned and every item keeps >= `shift` masked-zero tail lanes
+    (valid cols <= stride - 2 after the conv)."""
+    if row.dtype == jnp.float32:
+        return pltpu.roll(row, shift, 1)
+    return pltpu.roll(row.astype(jnp.float32), shift, 1).astype(row.dtype)
+
+
+def _kernel_dw(x_ref, g_ref, acc_ref, winx, wing, sems,
                *, lb, cix2, co2, nby, nbl):
     """Accumulate dW lane-contractions: acc[0] += X3 @ g, acc[1] += X3 @ gR
     per output row, into one (2, 3*cix2, co2) f32 block revisited by every
-    grid step."""
+    grid step. gR (g right-rolled one lane) is built in-kernel from the g
+    window — the XLA full-tensor roll it replaces cost a read+write of the
+    whole gradient per conv backward."""
     by = pl.program_id(0)
     bl = pl.program_id(1)
     step = by * nbl + bl
@@ -144,29 +157,27 @@ def _kernel_dw(x_ref, g_ref, gr_ref, acc_ref, winx, wing, wingr, sems,
             sems.at[idx, slot],
         )
 
-    def all3(slot, stp):
+    def all2(slot, stp):
         return (
             dma(x_ref, winx, 0, slot, stp, WIN),
             dma(g_ref, wing, 1, slot, stp, TH),
-            dma(gr_ref, wingr, 2, slot, stp, TH),
         )
 
     @pl.when(step == 0)
     def _():
-        for d in all3(0, 0):
+        for d in all2(0, 0):
             d.start()
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     @pl.when(step + 1 < nby * nbl)
     def _():
-        for d in all3((step + 1) % 2, step + 1):
+        for d in all2((step + 1) % 2, step + 1):
             d.start()
 
-    for d in all3(step % 2, step):
+    for d in all2(step % 2, step):
         d.wait()
     wx = winx.at[step % 2]
     wg = wing.at[step % 2]
-    wgr = wingr.at[step % 2]
 
     dn = (((1,), (1,)), ((), ()))
     for r in range(TH):
@@ -175,21 +186,21 @@ def _kernel_dw(x_ref, g_ref, gr_ref, acc_ref, winx, wing, wingr, sems,
             x3, wg[r], dn, preferred_element_type=jnp.float32
         )
         acc_ref[1] += jax.lax.dot_general(
-            x3, wgr[r], dn, preferred_element_type=jnp.float32
+            x3, _roll_right(wg[r], 1), dn,
+            preferred_element_type=jnp.float32,
         )
 
 
 @functools.partial(
     jax.jit, static_argnames=("item_stride", "gh_valid", "interpret")
 )
-def conv3x3_phase2_dw(x, g, gr, item_stride: int, gh_valid: int,
+def conv3x3_phase2_dw(x, g, item_stride: int, gh_valid: int,
                       interpret: bool = False):
     """Weight gradient of the 2-phase lanes conv.
 
     x: (H_x, 2*CI, L) the conv input (masked: garbage rows/lanes zeroed);
-    g: output gradient masked likewise; gr: g rolled RIGHT one lane
-    (jnp.roll(g, 1, axis=2) — cross-item wrap pulls masked zeros).
-    Returns dw (3, 3, CI, CO) f32."""
+    g: output gradient masked likewise (its right-rolled copy is built
+    in-kernel). Returns dw (3, 3, CI, CO) f32."""
     hx, cix2, lanes = x.shape
     cix = cix2 // 2
     _, co2, _ = g.shape
@@ -201,9 +212,8 @@ def conv3x3_phase2_dw(x, g, gr, item_stride: int, gh_valid: int,
     need_g = nby * TH
     if need_g > g.shape[0]:
         g = jnp.pad(g, ((0, need_g - g.shape[0]), (0, 0), (0, 0)))
-        gr = jnp.pad(gr, ((0, need_g - gr.shape[0]), (0, 0), (0, 0)))
     isz = x.dtype.itemsize
-    bpl = (2 * WIN * cix2 + 4 * TH * co2) * isz
+    bpl = (2 * WIN * cix2 + 2 * TH * co2) * isz
     lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
     nbl = lanes // lb
 
@@ -213,7 +223,7 @@ def conv3x3_phase2_dw(x, g, gr, item_stride: int, gh_valid: int,
     acc = pl.pallas_call(
         kernel,
         grid=(nby, nbl),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=pl.BlockSpec(
             (2, 3 * cix2, co2), lambda by, bl: (0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -222,11 +232,10 @@ def conv3x3_phase2_dw(x, g, gr, item_stride: int, gh_valid: int,
         scratch_shapes=[
             pltpu.VMEM((2, WIN, cix2, lb), x.dtype),
             pltpu.VMEM((2, TH, co2, lb), x.dtype),
-            pltpu.VMEM((2, TH, co2, lb), x.dtype),
-            pltpu.SemaphoreType.DMA((3, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(x, g, gr)
+    )(x, g)
     # acc[s][(ky, q, ci), (p, co)] -> dw[ky, kx, ci, co] via the fwd tap
     # table: (p=0,kx)->(q,s) = {0:(0,0), 1:(1,0), 2:(0,1)};
     #        (p=1,kx)->(q,s) = {0:(1,0), 1:(0,1), 2:(1,1)}
@@ -306,11 +315,11 @@ def conv3x3_dense_dx(g, w_hwio, item_stride: int, gh_valid: int,
     return out
 
 
-def _kernel_dw_dense(x_ref, g_ref, g1_ref, g2_ref, acc_ref, winx, wing,
-                     wing1, wing2, sems, *, lb, ci, co, nby, nbl):
+def _kernel_dw_dense(x_ref, g_ref, acc_ref, winx, wing, sems,
+                     *, lb, ci, co, nby, nbl):
     """Accumulate dense dW lane-contractions: acc[s] += X3 @ g_rolled_s per
-    output row (s = kx tap = lane right-roll of g), into one
-    (3, 3*ci, co) f32 block revisited by every grid step."""
+    output row (s = kx tap = lane right-roll of g, built in-kernel), into
+    one (3, 3*ci, co) f32 block revisited by every grid step."""
     by = pl.program_id(0)
     bl = pl.program_id(1)
     step = by * nbl + bl
@@ -323,50 +332,48 @@ def _kernel_dw_dense(x_ref, g_ref, g1_ref, g2_ref, acc_ref, winx, wing,
             sems.at[idx, slot],
         )
 
-    def all4(slot, stp):
+    def all2(slot, stp):
         return (
             dma(x_ref, winx, 0, slot, stp, WIN),
             dma(g_ref, wing, 1, slot, stp, TH),
-            dma(g1_ref, wing1, 2, slot, stp, TH),
-            dma(g2_ref, wing2, 3, slot, stp, TH),
         )
 
     @pl.when(step == 0)
     def _():
-        for d in all4(0, 0):
+        for d in all2(0, 0):
             d.start()
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     @pl.when(step + 1 < nby * nbl)
     def _():
-        for d in all4((step + 1) % 2, step + 1):
+        for d in all2((step + 1) % 2, step + 1):
             d.start()
 
-    for d in all4(step % 2, step):
+    for d in all2(step % 2, step):
         d.wait()
     wx = winx.at[step % 2]
-    wgs = (wing.at[step % 2], wing1.at[step % 2], wing2.at[step % 2])
+    wg = wing.at[step % 2]
 
     dn = (((1,), (1,)), ((), ()))
     for r in range(TH):
         x3 = wx[r : r + 3].reshape(3 * ci, lb)
         for s in range(3):
+            gs = wg[r] if s == 0 else _roll_right(wg[r], s)
             acc_ref[s] += jax.lax.dot_general(
-                x3, wgs[s][r], dn, preferred_element_type=jnp.float32
+                x3, gs, dn, preferred_element_type=jnp.float32
             )
 
 
 @functools.partial(
     jax.jit, static_argnames=("item_stride", "gh_valid", "interpret")
 )
-def conv3x3_dense_dw(x, g, g1, g2, item_stride: int, gh_valid: int,
+def conv3x3_dense_dw(x, g, item_stride: int, gh_valid: int,
                      interpret: bool = False):
     """Weight gradient of the dense lanes conv.
 
-    x: (H_x, CI, L) conv input (masked); g: output gradient (masked);
-    g1/g2: g rolled RIGHT 1/2 lanes (jnp.roll — the cross-item wrap pulls
-    masked zeros). Returns dw (3, 3, CI, CO) f32:
-    dW[ky, kx] = sum_{r,j} x[r+ky, j] g[r, j-kx] = acc[kx][ky]."""
+    x: (H_x, CI, L) conv input (masked); g: output gradient (masked; its
+    right-rolled kx-tap copies are built in-kernel). Returns dw
+    (3, 3, CI, CO) f32: dW[ky, kx] = sum_{r,j} x[r+ky, j] g[r, j-kx]."""
     hx, ci, lanes = x.shape
     _, co, _ = g.shape
     nby = -(-gh_valid // TH)
@@ -375,10 +382,9 @@ def conv3x3_dense_dw(x, g, g1, g2, item_stride: int, gh_valid: int,
         x = jnp.pad(x, ((0, need_x - hx), (0, 0), (0, 0)))
     need_g = nby * TH
     if need_g > g.shape[0]:
-        pad = ((0, need_g - g.shape[0]), (0, 0), (0, 0))
-        g, g1, g2 = jnp.pad(g, pad), jnp.pad(g1, pad), jnp.pad(g2, pad)
+        g = jnp.pad(g, ((0, need_g - g.shape[0]), (0, 0), (0, 0)))
     isz = x.dtype.itemsize
-    bpl = (2 * WIN * ci + 6 * TH * co) * isz
+    bpl = (2 * WIN * ci + 2 * TH * co) * isz
     lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
     nbl = lanes // lb
 
@@ -388,7 +394,7 @@ def conv3x3_dense_dw(x, g, g1, g2, item_stride: int, gh_valid: int,
     acc = pl.pallas_call(
         kernel,
         grid=(nby, nbl),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=pl.BlockSpec(
             (3, 3 * ci, co), lambda by, bl: (0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -397,12 +403,10 @@ def conv3x3_dense_dw(x, g, g1, g2, item_stride: int, gh_valid: int,
         scratch_shapes=[
             pltpu.VMEM((2, WIN, ci, lb), x.dtype),
             pltpu.VMEM((2, TH, co, lb), x.dtype),
-            pltpu.VMEM((2, TH, co, lb), x.dtype),
-            pltpu.VMEM((2, TH, co, lb), x.dtype),
-            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(x, g, g1, g2)
+    )(x, g)
     # acc[kx][(ky, ci), co] -> dw[ky, kx, ci, co]
     return acc.reshape(3, 3, ci, co).transpose(1, 0, 2, 3)
 
@@ -443,15 +447,13 @@ def make_conv_dense_train(item_stride: int, h_valid: int, w_valid: int = 0,
     def bwd(res, g):
         x, w = res
         gm = _mask(g, ho, wv - 2)
-        g1 = jnp.roll(gm, 1, axis=2)
-        g2 = jnp.roll(gm, 2, axis=2)
         xm = _mask(x, h_valid, wv)
         dx = conv3x3_dense_dx(
             gm, w, item_stride, gh_valid=ho, out_rows=x.shape[0],
             interpret=interpret,
         )[: x.shape[0]]
         dw = conv3x3_dense_dw(
-            xm, gm, g1, g2, item_stride, gh_valid=ho, interpret=interpret
+            xm, gm, item_stride, gh_valid=ho, interpret=interpret
         )
         db = jnp.sum(gm, axis=(0, 2), dtype=jnp.float32)
         return dx, dw.astype(w.dtype), db.astype(jnp.float32)
@@ -505,14 +507,13 @@ def make_conv_p2_train(item_stride: int, h_valid: int, interpret: bool = False):
         # padding (garbage rows/lanes may be uninitialized memory — NaN*0
         # would poison dW, so x is masked too)
         gm = _mask(g, co, ho, h_valid - 2)
-        gr = jnp.roll(gm, 1, axis=2)
         xm = _mask(x, ci, h_valid, h_valid)
         dx = conv3x3_phase2_dx(
             gm, w, item_stride, gh_valid=ho, out_rows=x.shape[0],
             interpret=interpret,
         )[: x.shape[0]]
         dw = conv3x3_phase2_dw(
-            xm, gm, gr, item_stride, gh_valid=ho, interpret=interpret
+            xm, gm, item_stride, gh_valid=ho, interpret=interpret
         )
         db = jnp.sum(gm, axis=(0, 2), dtype=jnp.float32)
         db = db[:co] + db[co:]
@@ -533,8 +534,8 @@ def _dw_acc_reassemble(acc, cix, co):
     return jnp.stack([dw0, dw1, dw2], axis=1)  # (3, 3, ci, co)
 
 
-def _kernel_dw_dec0(skip_ref, up_ref, g_ref, gr_ref, accs_ref, accu_ref,
-                    wins, winu, wing, wingr, shift_buf, sems,
+def _kernel_dw_dec0(skip_ref, up_ref, g_ref, accs_ref, accu_ref,
+                    wins, winu, wing, shift_buf, sems,
                     *, lb, cis2, ciu2, co2, nby, nbl, row_off, lane_off):
     """dW of the decoder-entry conv (conv over concat(crop(skip), up))
     WITHOUT materializing the crop or the concat: the skip window DMAs at
@@ -555,32 +556,30 @@ def _kernel_dw_dec0(skip_ref, up_ref, g_ref, gr_ref, accs_ref, accu_ref,
             sems.at[idx, slot],
         )
 
-    def all4(slot, stp):
+    def all3(slot, stp):
         return (
             dma(skip_ref, wins, 0, slot, stp, WIN, roff=row_off),
             dma(up_ref, winu, 1, slot, stp, WIN),
             dma(g_ref, wing, 2, slot, stp, TH),
-            dma(gr_ref, wingr, 3, slot, stp, TH),
         )
 
     @pl.when(step == 0)
     def _():
-        for d in all4(0, 0):
+        for d in all3(0, 0):
             d.start()
         accs_ref[...] = jnp.zeros_like(accs_ref)
         accu_ref[...] = jnp.zeros_like(accu_ref)
 
     @pl.when(step + 1 < nby * nbl)
     def _():
-        for d in all4((step + 1) % 2, step + 1):
+        for d in all3((step + 1) % 2, step + 1):
             d.start()
 
-    for d in all4(step % 2, step):
+    for d in all3(step % 2, step):
         d.wait()
     ws = wins.at[step % 2]
     wu = winu.at[step % 2]
     wg = wing.at[step % 2]
-    wgr = wingr.at[step % 2]
 
     # shift the skip window's lanes left by lane_off once per grid step
     # (the crop's column offset; the f32 roundtrip is exact for bf16)
@@ -594,17 +593,18 @@ def _kernel_dw_dec0(skip_ref, up_ref, g_ref, gr_ref, accs_ref, accu_ref,
     for r in range(TH):
         xs3 = shift_buf[r : r + 3].reshape(3 * cis2, lb)
         xu3 = wu[r : r + 3].reshape(3 * ciu2, lb)
+        gr_row = _roll_right(wg[r], 1)
         accs_ref[0] += jax.lax.dot_general(
             xs3, wg[r], dn, preferred_element_type=jnp.float32
         )
         accs_ref[1] += jax.lax.dot_general(
-            xs3, wgr[r], dn, preferred_element_type=jnp.float32
+            xs3, gr_row, dn, preferred_element_type=jnp.float32
         )
         accu_ref[0] += jax.lax.dot_general(
             xu3, wg[r], dn, preferred_element_type=jnp.float32
         )
         accu_ref[1] += jax.lax.dot_general(
-            xu3, wgr[r], dn, preferred_element_type=jnp.float32
+            xu3, gr_row, dn, preferred_element_type=jnp.float32
         )
 
 
@@ -613,15 +613,15 @@ def _kernel_dw_dec0(skip_ref, up_ref, g_ref, gr_ref, accs_ref, accu_ref,
     static_argnames=("item_stride", "gh_valid", "row_off", "lane_off",
                      "interpret"),
 )
-def conv3x3_dec0_dw(skip, up, g, gr, item_stride: int, gh_valid: int,
+def conv3x3_dec0_dw(skip, up, g, item_stride: int, gh_valid: int,
                     row_off: int, lane_off: int, interpret: bool = False):
     """Weight gradient of the fused decoder-entry conv.
 
     skip: (H_s, 2*CI_s, L) 2-phase, RAW (windows read only real cropped
     rows; wrapped shift garbage meets masked-zero g lanes); up: (H_u,
-    2*CI_u, L) masked (garbage rows/lanes zeroed); g: output grad masked;
-    gr: g rolled right 1. Returns dw (3, 3, CI_s + CI_u, CO) f32, skip
-    channels first (the trained concat-conv order)."""
+    2*CI_u, L) masked (garbage rows/lanes zeroed); g: output grad masked
+    (right-rolled copy built in-kernel). Returns dw (3, 3, CI_s + CI_u,
+    CO) f32, skip channels first (the trained concat-conv order)."""
     _, cis2, lanes = skip.shape
     _, ciu2, _ = up.shape
     cis, ciu = cis2 // 2, ciu2 // 2
@@ -636,10 +636,9 @@ def conv3x3_dec0_dw(skip, up, g, gr, item_stride: int, gh_valid: int,
         up = jnp.pad(up, ((0, need_u - up.shape[0]), (0, 0), (0, 0)))
     need_g = nby * TH
     if need_g > g.shape[0]:
-        pad = ((0, need_g - g.shape[0]), (0, 0), (0, 0))
-        g, gr = jnp.pad(g, pad), jnp.pad(gr, pad)
+        g = jnp.pad(g, ((0, need_g - g.shape[0]), (0, 0), (0, 0)))
     isz = skip.dtype.itemsize
-    bpl = (3 * WIN * cis2 + 2 * WIN * ciu2 + 4 * TH * co2) * isz
+    bpl = (3 * WIN * cis2 + 2 * WIN * ciu2 + 2 * TH * co2) * isz
     lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
     nbl = lanes // lb
 
@@ -650,7 +649,7 @@ def conv3x3_dec0_dw(skip, up, g, gr, item_stride: int, gh_valid: int,
     accs, accu = pl.pallas_call(
         kernel,
         grid=(nby, nbl),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
         out_specs=(
             pl.BlockSpec(
                 (2, 3 * cis2, co2), lambda by, bl: (0, 0, 0),
@@ -669,12 +668,11 @@ def conv3x3_dec0_dw(skip, up, g, gr, item_stride: int, gh_valid: int,
             pltpu.VMEM((2, WIN, cis2, lb), skip.dtype),
             pltpu.VMEM((2, WIN, ciu2, lb), up.dtype),
             pltpu.VMEM((2, TH, co2, lb), g.dtype),
-            pltpu.VMEM((2, TH, co2, lb), g.dtype),
             pltpu.VMEM((WIN, cis2, lb), skip.dtype),
-            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
         interpret=interpret,
-    )(skip, up, g, gr)
+    )(skip, up, g)
     dw_s = _dw_acc_reassemble(accs, cis, co)
     dw_u = _dw_acc_reassemble(accu, ciu, co)
     return jnp.concatenate([dw_s, dw_u], axis=2)
@@ -735,7 +733,6 @@ def make_dec0_p2_train(item_stride: int, up_w: int, row_off: int,
         ciu = up.shape[1] // 2
         co = w.shape[3]
         gm = _mask_p2(g, co, ho, ho)
-        gr = jnp.roll(gm, 1, axis=2)
         # up garbage rows (raw-rows tconv buffers) can be uninitialized —
         # mask them; the skip is real data everywhere its windows read
         um = _mask_p2(up, ciu, up_w, up_w)
@@ -773,7 +770,7 @@ def make_dec0_p2_train(item_stride: int, up_w: int, row_off: int,
              (0, 0), (0, 0)),
         )[: skip.shape[0]]
         dw = conv3x3_dec0_dw(
-            sm, um, gm, gr, item_stride, gh_valid=ho,
+            sm, um, gm, item_stride, gh_valid=ho,
             row_off=row_off, lane_off=lane_off, interpret=interpret,
         )
         db = jnp.sum(gm, axis=(0, 2), dtype=jnp.float32)
@@ -784,12 +781,12 @@ def make_dec0_p2_train(item_stride: int, up_w: int, row_off: int,
     return conv
 
 
-def _kernel_dw_dec0_dense(skip_ref, up_ref, g_ref, g1_ref, g2_ref,
-                          accs_ref, accu_ref, wins, winu, wing, wing1,
-                          wing2, shift_buf, sems, *, lb, cis, ciu, co,
+def _kernel_dw_dec0_dense(skip_ref, up_ref, g_ref,
+                          accs_ref, accu_ref, wins, winu, wing,
+                          shift_buf, sems, *, lb, cis, ciu, co,
                           nby, nbl, row_off, lane_off):
     """Dense-layout dW of the decoder-entry conv (see _kernel_dw_dec0 for
-    the shift/garbage argument; dense = 3 kx g-rolls instead of 2)."""
+    the shift/garbage argument; dense = 3 kx g-rolls, built in-kernel)."""
     by = pl.program_id(0)
     bl = pl.program_id(1)
     step = by * nbl + bl
@@ -802,32 +799,30 @@ def _kernel_dw_dec0_dense(skip_ref, up_ref, g_ref, g1_ref, g2_ref,
             sems.at[idx, slot],
         )
 
-    def all5(slot, stp):
+    def all3(slot, stp):
         return (
             dma(skip_ref, wins, 0, slot, stp, WIN, roff=row_off),
             dma(up_ref, winu, 1, slot, stp, WIN),
             dma(g_ref, wing, 2, slot, stp, TH),
-            dma(g1_ref, wing1, 3, slot, stp, TH),
-            dma(g2_ref, wing2, 4, slot, stp, TH),
         )
 
     @pl.when(step == 0)
     def _():
-        for d in all5(0, 0):
+        for d in all3(0, 0):
             d.start()
         accs_ref[...] = jnp.zeros_like(accs_ref)
         accu_ref[...] = jnp.zeros_like(accu_ref)
 
     @pl.when(step + 1 < nby * nbl)
     def _():
-        for d in all5((step + 1) % 2, step + 1):
+        for d in all3((step + 1) % 2, step + 1):
             d.start()
 
-    for d in all5(step % 2, step):
+    for d in all3(step % 2, step):
         d.wait()
     ws = wins.at[step % 2]
     wu = winu.at[step % 2]
-    wgs = (wing.at[step % 2], wing1.at[step % 2], wing2.at[step % 2])
+    wg = wing.at[step % 2]
 
     for r in range(WIN):
         row = ws[r].astype(jnp.float32)
@@ -840,11 +835,12 @@ def _kernel_dw_dec0_dense(skip_ref, up_ref, g_ref, g1_ref, g2_ref,
         xs3 = shift_buf[r : r + 3].reshape(3 * cis, lb)
         xu3 = wu[r : r + 3].reshape(3 * ciu, lb)
         for s in range(3):
+            gs = wg[r] if s == 0 else _roll_right(wg[r], s)
             accs_ref[s] += jax.lax.dot_general(
-                xs3, wgs[s][r], dn, preferred_element_type=jnp.float32
+                xs3, gs, dn, preferred_element_type=jnp.float32
             )
             accu_ref[s] += jax.lax.dot_general(
-                xu3, wgs[s][r], dn, preferred_element_type=jnp.float32
+                xu3, gs, dn, preferred_element_type=jnp.float32
             )
 
 
@@ -853,12 +849,12 @@ def _kernel_dw_dec0_dense(skip_ref, up_ref, g_ref, g1_ref, g2_ref,
     static_argnames=("item_stride", "gh_valid", "row_off", "lane_off",
                      "interpret"),
 )
-def conv3x3_dec0_dense_dw(skip, up, g, g1, g2, item_stride: int,
+def conv3x3_dec0_dense_dw(skip, up, g, item_stride: int,
                           gh_valid: int, row_off: int, lane_off: int,
                           interpret: bool = False):
     """Weight gradient of the fused DENSE decoder-entry conv. skip raw,
-    up/g masked, g1/g2 = g rolled right 1/2. Returns (3, 3, CI_s+CI_u, CO)
-    f32, skip channels first."""
+    up/g masked (g's kx-tap right-rolls built in-kernel). Returns
+    (3, 3, CI_s+CI_u, CO) f32, skip channels first."""
     _, cis, lanes = skip.shape
     _, ciu, _ = up.shape
     _, co, _ = g.shape
@@ -871,10 +867,9 @@ def conv3x3_dec0_dense_dw(skip, up, g, g1, g2, item_stride: int,
         up = jnp.pad(up, ((0, need_u - up.shape[0]), (0, 0), (0, 0)))
     need_g = nby * TH
     if need_g > g.shape[0]:
-        pad = ((0, need_g - g.shape[0]), (0, 0), (0, 0))
-        g, g1, g2 = jnp.pad(g, pad), jnp.pad(g1, pad), jnp.pad(g2, pad)
+        g = jnp.pad(g, ((0, need_g - g.shape[0]), (0, 0), (0, 0)))
     isz = skip.dtype.itemsize
-    bpl = (3 * WIN * cis + 2 * WIN * ciu + 6 * TH * co) * isz
+    bpl = (3 * WIN * cis + 2 * WIN * ciu + 2 * TH * co) * isz
     lb = _lane_block(lanes, item_stride, _lane_budget(bpl))
     nbl = lanes // lb
 
@@ -885,7 +880,7 @@ def conv3x3_dec0_dense_dw(skip, up, g, g1, g2, item_stride: int,
     accs, accu = pl.pallas_call(
         kernel,
         grid=(nby, nbl),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
         out_specs=(
             pl.BlockSpec(
                 (3, 3 * cis, co), lambda by, bl: (0, 0, 0),
@@ -904,13 +899,11 @@ def conv3x3_dec0_dense_dw(skip, up, g, g1, g2, item_stride: int,
             pltpu.VMEM((2, WIN, cis, lb), skip.dtype),
             pltpu.VMEM((2, WIN, ciu, lb), up.dtype),
             pltpu.VMEM((2, TH, co, lb), g.dtype),
-            pltpu.VMEM((2, TH, co, lb), g.dtype),
-            pltpu.VMEM((2, TH, co, lb), g.dtype),
             pltpu.VMEM((WIN, cis, lb), skip.dtype),
-            pltpu.SemaphoreType.DMA((5, 2)),
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
         interpret=interpret,
-    )(skip, up, g, g1, g2)
+    )(skip, up, g)
     dw_s = accs.reshape(3, 3, cis, co).transpose(1, 0, 2, 3)
     dw_u = accu.reshape(3, 3, ciu, co).transpose(1, 0, 2, 3)
     return jnp.concatenate([dw_s, dw_u], axis=2)
@@ -955,8 +948,6 @@ def make_dec0_dense_train(item_stride: int, up_w: int, row_off: int,
         cis = skip.shape[1]
         co = w.shape[3]
         gm = _mask_dense(g, ho, up_w - 2)
-        g1 = jnp.roll(gm, 1, axis=2)
-        g2 = jnp.roll(gm, 2, axis=2)
         um = _mask_dense(up, urv, up_w)
         sm = (
             jnp.where(
@@ -983,7 +974,7 @@ def make_dec0_dense_train(item_stride: int, up_w: int, row_off: int,
              (0, 0), (0, 0)),
         )[: skip.shape[0]]
         dw = conv3x3_dec0_dense_dw(
-            sm, um, gm, g1, g2, item_stride, gh_valid=ho,
+            sm, um, gm, item_stride, gh_valid=ho,
             row_off=row_off, lane_off=lane_off, interpret=interpret,
         )
         db = jnp.sum(gm, axis=(0, 2), dtype=jnp.float32)
