@@ -238,9 +238,11 @@ def main() -> int:
         # the shipped recipe / surviving checkpoints, so a stale number is
         # visible to the driver instead of silently outliving its origins.
         record["seg_eval_date"] = seg.get("eval_date")
+        from unetseg_tpu.utils.provenance import recipe_hash
+
         stored_hash = seg.get("recipe_hash")
         record["seg_recipe_current"] = (
-            stored_hash == _recipe_hash() if stored_hash else None
+            stored_hash == recipe_hash() if stored_hash else None
         )
         dirs = seg.get("checkpoint_dirs") or []
         record["seg_checkpoints_present"] = (
@@ -249,20 +251,6 @@ def main() -> int:
 
     print(json.dumps(record))
     return 0
-
-
-def _recipe_hash() -> str:
-    """Short content hash of configs/best_recipe.json (provenance stamp)."""
-    import hashlib
-
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "configs", "best_recipe.json"
-    )
-    try:
-        with open(path, "rb") as f:
-            return hashlib.sha256(f.read()).hexdigest()[:12]
-    except OSError:
-        return ""
 
 
 def _measure_train_step(lo: int, hi: int) -> dict:

@@ -216,3 +216,29 @@ def test_ensemble_raw_plus_ema_members(tmp_path):
     imgs = np.random.RandomState(0).rand(1, SIZE, SIZE).astype(np.float32)
     p = np.asarray(pred.probs(imgs))
     assert p.shape == (1, 4, 4) and np.isfinite(p).all()
+
+
+def test_ema_restore_from_full_only_epoch(tmp_path):
+    # an epoch that exists ONLY in the full resume stream (full_save_interval
+    # cadence) must still serve its EMA shadow to predict --ema
+    model = UNet(cfg=TINY)
+    state = create_train_state(
+        jax.random.key(0), model_cfg=TINY, train_cfg=EMA,
+        input_size=SIZE, model=model,
+    )
+    step = make_train_step(model, augment=False, donate=False)
+    state, _ = step(state, *_batch(np.random.RandomState(0)), jax.random.key(0))
+    d = str(tmp_path / "c")
+    ck = ckpt.Checkpointer(d, keep=3, sync=True)
+    ck.save_full(state, epoch=7, val_loss=0.4)  # full stream only
+    ck.close()
+    template = create_train_state(
+        jax.random.key(1), model_cfg=TINY, train_cfg=EMA, input_size=SIZE,
+    )
+    ema_p, ema_bs = ckpt.restore_params_for_inference(
+        d, template, epoch=7, ema=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(ema_p)[0]),
+        np.asarray(jax.tree.leaves(state.ema_params)[0]), rtol=1e-6,
+    )

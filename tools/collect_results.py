@@ -13,7 +13,6 @@ means (the single-model means are recorded separately, keyed by eval dir).
 Also stamps provenance (eval date, recipe hash, checkpoint dirs) that
 bench.py surfaces so a stale number is visible to the driver.
 """
-import hashlib
 import json
 import os
 import statistics
@@ -23,15 +22,6 @@ from datetime import date
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _recipe_hash() -> str:
-    path = os.path.join(REPO, "configs", "best_recipe.json")
-    try:
-        with open(path, "rb") as f:
-            return hashlib.sha256(f.read()).hexdigest()[:12]
-    except OSError:
-        return ""
 
 
 def main(eval_dir: str, update_latest: bool = False, run_dirs=None) -> None:
@@ -93,6 +83,7 @@ def main(eval_dir: str, update_latest: bool = False, run_dirs=None) -> None:
 
     # the top-level keys bench.py reads == the SHIPPED config's numbers
     shipped = next((n for n in ("flagship", "ens") if n in runs), None)
+    top_updated = shipped is not None or mean is not None
     if shipped is not None:
         v = vals_of(runs[shipped])
         latest.update({
@@ -120,10 +111,15 @@ def main(eval_dir: str, update_latest: bool = False, run_dirs=None) -> None:
             "seg_seq02": e[3], "tra_seq02": e[4],
         }
 
-    latest["eval_date"] = date.today().isoformat()
-    latest["recipe_hash"] = _recipe_hash()
-    if run_dirs:
-        latest["checkpoint_dirs"] = run_dirs
+    if top_updated:
+        # stamp ONLY when the headline numbers were refreshed — re-stamping
+        # on a side-experiment collection would mark stale numbers current
+        from unetseg_tpu.utils.provenance import recipe_hash
+
+        latest["eval_date"] = date.today().isoformat()
+        latest["recipe_hash"] = recipe_hash()
+        if run_dirs:
+            latest["checkpoint_dirs"] = run_dirs
     latest["note"] = (
         "machine-readable mirror of the latest shipped-recipe CTC "
         "evaluation; update alongside docs/RESULTS.md"

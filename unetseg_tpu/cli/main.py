@@ -78,7 +78,9 @@ def _make_predictor(args, cfg: Config, icfg: InferConfig):
     use_ema = getattr(args, "ema", False) or getattr(icfg, "use_ema", False)
     if getattr(args, "ema_both", False) or use_ema == "both":
         use_ema = "both"
-    if len(dirs) > 1:
+    if len(dirs) > 1 or use_ema == "both":
+        # "both" with one dir is still an ensemble (raw + EMA members);
+        # from_checkpoints handles that routing
         if args.epoch is not None:
             raise SystemExit("error: --epoch is per-checkpoint; ensemble "
                              "dirs always load each member's best")

@@ -585,7 +585,7 @@ def _kernel_dw_dec0(skip_ref, up_ref, g_ref, accs_ref, accu_ref,
     # (the crop's column offset; the f32 roundtrip is exact for bf16)
     for r in range(WIN):
         row = ws[r].astype(jnp.float32)
-        shift_buf[r] = pltpu.roll(row, lb - lane_off, 1).astype(
+        shift_buf[r] = pltpu.roll(row, (lb - lane_off) % lb, 1).astype(
             shift_buf.dtype
         )
 
@@ -949,14 +949,17 @@ def make_dec0_dense_train(item_stride: int, up_w: int, row_off: int,
         co = w.shape[3]
         gm = _mask_dense(g, ho, up_w - 2)
         um = _mask_dense(up, urv, up_w)
-        sm = (
-            jnp.where(
-                (jnp.arange(skip.shape[0]) < skip_rows_valid)[:, None, None],
-                skip, 0,
+        sm = skip
+        if mask_skip:
+            sm = jnp.where(
+                (jnp.arange(sm.shape[0]) < skip_rows_valid)[:, None, None],
+                sm, 0,
             )
-            if mask_skip
-            else skip
-        )
+        if skip_w_valid:
+            # fence non-finite garbage columns out of the dW contraction
+            n_items = sm.shape[2] // item_stride
+            lm = jnp.tile(jnp.arange(item_stride) < skip_w_valid, n_items)
+            sm = jnp.where(lm[None, None, :], sm, 0)
         dcat = conv3x3_dense_dx(
             gm, w, item_stride, gh_valid=ho, out_rows=0, interpret=interpret,
         )[:up_w]

@@ -363,6 +363,14 @@ def best_epoch(directory: str) -> Optional[int]:
     return step
 
 
+def _has_ema_item(directory: str, epoch: int) -> bool:
+    """Does the checkpoint at <directory>/<epoch> carry the "ema" Composite
+    item? Checked on disk so restore logic can distinguish "no shadow was
+    saved" (clean fallback/clear error) from a real restore failure
+    (corrupt item, wrong template) that must surface loudly."""
+    return os.path.isdir(os.path.join(os.path.abspath(directory), str(epoch), "ema"))
+
+
 def _restore_full_from(
     directory: str, state: TrainState, epoch: int
 ) -> Tuple[TrainState, Dict[str, Any]]:
@@ -382,14 +390,12 @@ def _restore_full_from(
         finally:
             mgr.close()
 
-    restored = None
-    if ema_template is not None:
-        try:
-            restored = attempt(True)
-        except Exception:
-            restored = None  # pre-EMA checkpoint into an EMA run: seed below
-    if restored is None:
-        restored = attempt(False)
+    # decide by on-disk item presence: a PRESENT-but-broken ema item must
+    # fail loudly (a silent raw-weights reseed would discard the shadow a
+    # wedged save left behind), while a genuinely pre-EMA checkpoint falls
+    # back cleanly and reseeds below
+    want_ema = ema_template is not None and _has_ema_item(directory, epoch)
+    restored = attempt(want_ema)
     st = restored["state"]
     state = state.replace(
         params=st["params"],
@@ -398,7 +404,7 @@ def _restore_full_from(
         step=int(np.asarray(st["step"])),
     )
     if ema_template is not None:
-        ema = restored.get("ema") if "ema" in restored else None
+        ema = restored.get("ema") if want_ema and "ema" in restored else None
         if ema is not None:
             state = state.replace(
                 ema_params=ema["params"], ema_batch_stats=ema["batch_stats"]
@@ -460,6 +466,12 @@ def restore_light(
         "params": _shadow_dtype(params_template, jnp.bfloat16),
         "batch_stats": batch_stats_template,
     }
+    if ema and not _has_ema_item(directory, epoch):
+        mgr.close()
+        raise FileNotFoundError(
+            f"checkpoint {directory} (epoch {epoch}) has no EMA shadow "
+            f"— was it trained with TrainConfig.ema_decay > 0?"
+        )
     item = "ema" if ema else "state"
     try:
         restored = mgr.restore(
@@ -469,13 +481,6 @@ def restore_light(
                 "extra": ocp.args.JsonRestore(),
             }),
         )
-    except Exception as e:
-        if ema:
-            raise FileNotFoundError(
-                f"checkpoint {directory} (epoch {epoch}) has no EMA shadow "
-                f"— was it trained with TrainConfig.ema_decay > 0?"
-            ) from e
-        raise
     finally:
         mgr.close()
     st = restored[item]
@@ -526,8 +531,16 @@ def restore_params_for_inference(
         return params, batch_stats
     except FileNotFoundError:
         if ema:
-            raise  # no-EMA-shadow must surface, not fall through to raw
-        pass  # legacy full-state root below
+            # the requested epoch may live only in the FULL resume stream
+            # (full_save_interval cadence) — which also carries the "ema"
+            # item. Only a target that genuinely lacks the shadow is a
+            # hard error; a present-but-broken item surfaces from the
+            # restore itself.
+            full_dir = _full_dir(directory)
+            full_epoch = epoch if epoch is not None else _stream_latest(full_dir)
+            if full_epoch is None or not _has_ema_item(full_dir, full_epoch):
+                raise
+        pass  # full/legacy full-state stream below
     except Exception:
         if ema:
             raise
@@ -556,5 +569,13 @@ def restore_params_for_inference(
     # falls back to a legacy single-stream root — for an explicit epoch too:
     # a full-save-only epoch (full_save_interval cadence) exists only there,
     # not in the light best-k root.
+    if ema:
+        # an ema-structured template so the "ema" item restores alongside
+        # (presence was verified above — no silent reseed can reach here)
+        state = state.replace(
+            ema_params=state.params, ema_batch_stats=state.batch_stats
+        )
     st, _, _ = restore_checkpoint(directory, state, epoch)
+    if ema:
+        return st.ema_params, st.ema_batch_stats
     return st.params, st.batch_stats
