@@ -37,6 +37,8 @@ VARIANTS = {
                          "UNETSEG_LANES_TIER2_TRAIN": "1"}, NOAUG),
     "t2-rollcat":      ({"UNETSEG_DEC0_FUSED": "0",
                          "UNETSEG_LANES_TIER2_TRAIN": "1"}, NOAUG),
+    # EMA shadow cost on the recipe step (state carries ema trees)
+    "t1-fused-aug-ema": ({"UNETSEG_DEC0_FUSED": "1"}, dict(AUG, _ema=True)),
 }
 
 
@@ -46,10 +48,16 @@ def main(reps=2, names=None):
     from unetseg_tpu.train.state import create_train_state
     from unetseg_tpu.train.steps import make_train_step
 
+    from unetseg_tpu.core.config import TrainConfig
+
     cfg = Config()
     model = UNet(cfg=cfg.model)
     state0 = create_train_state(
         jax.random.key(0), model_cfg=cfg.model, input_size=512, model=model
+    )
+    state_ema = create_train_state(
+        jax.random.key(0), model_cfg=cfg.model, input_size=512, model=model,
+        train_cfg=TrainConfig(ema_decay=0.999),
     )
     b = cfg.train.batch_size
     imgs = jnp.asarray(np.random.RandomState(0).rand(b, 512, 512), jnp.float32)
@@ -65,6 +73,8 @@ def main(reps=2, names=None):
 
     def build(name):
         env, kw = VARIANTS[name]
+        kw = dict(kw)
+        st0 = state_ema if kw.pop("_ema", False) else state0
         saved = {k: os.environ.get(k) for k in env}
         os.environ.update(env)
         try:
@@ -84,8 +94,8 @@ def main(reps=2, names=None):
                 return loss
 
             for L in (LO, HI):
-                float(run(state0, L))  # compile with env set (trace time)
-            return run
+                float(run(st0, L))  # compile with env set (trace time)
+            return run, st0
         finally:
             for k, v in saved.items():
                 if v is None:
@@ -95,7 +105,7 @@ def main(reps=2, names=None):
 
     for name in names:
         try:
-            compiled[name] = build(name)
+            compiled[name] = build(name)  # (run, state)
         except Exception as e:
             print(f"{name:18s} COMPILE-FAIL {type(e).__name__}: {str(e)[:160]}",
                   flush=True)
@@ -103,11 +113,11 @@ def main(reps=2, names=None):
 
     for rep in range(reps):
         for name in list(results):
-            run = compiled[name]
+            run, st0 = compiled[name]
             ts = {}
             for L in (LO, HI, LO, HI):
                 t0 = time.perf_counter()
-                float(run(state0, L))
+                float(run(st0, L))
                 ts.setdefault(L, []).append(time.perf_counter() - t0)
             per = (min(ts[HI]) - min(ts[LO])) / (HI - LO)
             results[name].append(per * 1e3)

@@ -50,7 +50,8 @@ for s in 0 1 2; do
   eval_one "s$s"       $RUN/s$s "01 02" "${BASE[@]}"
   eval_one "s${s}_ema" $RUN/s$s "01 02" "${BASE[@]}" --ema
 done
-ENS="$RUN/s0,$RUN/s1,$RUN/s2"
+ENS3="$RUN/s0,$RUN/s1,$RUN/s2"
+ENS="$ENS3"
 eval_one flagship     "$ENS" "01 02" --tta flips --tta-merge vote --ensemble-merge vote --temporal-bidi
 eval_one flagship_ema "$ENS" "01 02" --tta flips --tta-merge vote --ensemble-merge vote --temporal-bidi --ema
 eval_one ens          "$ENS" "01 02" "${BASE[@]}"
@@ -63,6 +64,12 @@ eval_one a0_seq02     $RUN/a0 02 "${BASE[@]}"
 eval_one a0_seq02_ema $RUN/a0 02 "${BASE[@]}" --ema
 eval_one b0_seq01     $RUN/b0 01 "${BASE[@]}"
 eval_one b0_seq01_ema $RUN/b0 01 "${BASE[@]}" --ema
+
+# ---- flagship variants: mixed raw+EMA and 6 fresh seeds ----
+eval_one flagship_mix6 "$ENS3" "01 02" --tta flips --tta-merge vote --ensemble-merge vote --temporal-bidi --ema-both
+for s in 3 4 5; do train_one s$s "$DATA" $s; done
+ENS6F="$RUN/s0,$RUN/s1,$RUN/s2,$RUN/s3,$RUN/s4,$RUN/s5"
+eval_one flagship6f "$ENS6F" "01 02" --tta flips --tta-merge vote --ensemble-merge vote --temporal-bidi
 
 # ---- wave 3: perf A/B ----
 if [ ! -f $EVAL/dec0_ab.log ]; then
