@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main(eval_dir: str, update_latest: bool = False, run_dirs=None) -> None:
+def main(eval_dir: str, update_latest: bool = False, run_dirs=None,
+         ship: str = "") -> None:
     runs = {}
     for name in sorted(os.listdir(eval_dir)):
         p = os.path.join(eval_dir, name, "summary.json")
@@ -81,8 +82,12 @@ def main(eval_dir: str, update_latest: bool = False, run_dirs=None) -> None:
         }
         latest["single_model_3seed_means"] = smm
 
-    # the top-level keys bench.py reads == the SHIPPED config's numbers
-    shipped = next((n for n in ("flagship", "ens") if n in runs), None)
+    # the top-level keys bench.py reads == the SHIPPED config's numbers;
+    # --ship picks the row explicitly (e.g. a flagship re-eval row over
+    # surviving checkpoints), else flagship/ens auto-resolve
+    if ship and ship not in runs:
+        raise SystemExit(f"--ship {ship}: no such eval row under {eval_dir}")
+    shipped = ship or next((n for n in ("flagship", "ens") if n in runs), None)
     top_updated = shipped is not None or mean is not None
     if shipped is not None:
         v = vals_of(runs[shipped])
@@ -139,6 +144,9 @@ if __name__ == "__main__":
     ap.add_argument("--run-dirs", default=None,
                     help="comma-separated checkpoint dirs recorded as "
                          "provenance in results_latest.json")
+    ap.add_argument("--ship", default="",
+                    help="eval row to publish as the top-level numbers")
     a = ap.parse_args()
     main(a.eval_dir, update_latest=a.update_latest,
-         run_dirs=[d for d in (a.run_dirs or "").split(",") if d] or None)
+         run_dirs=[d for d in (a.run_dirs or "").split(",") if d] or None,
+         ship=a.ship)
