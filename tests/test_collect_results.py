@@ -98,3 +98,42 @@ def test_side_experiment_does_not_restamp(eval_dir, tmp_path):
     assert after["seg_seq01"] == before["seg_seq01"]
     assert after["source"] == before["source"]
     assert after["recipe_hash"] == before["recipe_hash"]  # not re-stamped
+
+
+def test_seeds_only_dir_keeps_shipped_headline(eval_dir, tmp_path):
+    """A round dir with s0/s1/s2 rows but no flagship/ens row must record
+    means under single_model_3seed_means WITHOUT replacing the shipped
+    flagship headline or re-stamping provenance (advisor round-4)."""
+    d, repo = eval_dir
+    collect.main(d, update_latest=True)
+    before = _latest(repo)
+    seeds = tmp_path / "seeds_only"
+    for name, s in {"s0": _summary(0.70, 0.65), "s1": _summary(0.71, 0.66),
+                    "s2": _summary(0.72, 0.67)}.items():
+        (seeds / name).mkdir(parents=True)
+        with open(seeds / name / "summary.json", "w") as f:
+            json.dump(s, f)
+    with open(os.path.join(repo, "configs", "best_recipe.json"), "w") as f:
+        f.write('{"changed": 2}')
+    collect.main(str(seeds), update_latest=True)
+    after = _latest(repo)
+    # headline untouched, provenance not re-stamped
+    assert after["seg_seq01"] == before["seg_seq01"] == 0.87
+    assert after["source"] == before["source"]
+    assert after["recipe_hash"] == before["recipe_hash"]
+    # but the seed means ARE recorded under their own key
+    assert after["single_model_3seed_means"]["seeds_only"]["seg_seq01"] == 0.71
+
+
+def test_seeds_only_dir_bootstraps_empty_headline(eval_dir, tmp_path):
+    """With NO prior headline, seed means may bootstrap the top level."""
+    _, repo = eval_dir
+    seeds = tmp_path / "boot"
+    for name, s in {"s0": _summary(0.70, 0.65), "s1": _summary(0.71, 0.66)}.items():
+        (seeds / name).mkdir(parents=True)
+        with open(seeds / name / "summary.json", "w") as f:
+            json.dump(s, f)
+    collect.main(str(seeds), update_latest=True)
+    latest = _latest(repo)
+    assert latest["seg_seq01"] == 0.705
+    assert "SINGLE-MODEL means" in latest["source"]

@@ -242,3 +242,21 @@ def test_ema_restore_from_full_only_epoch(tmp_path):
         np.asarray(jax.tree.leaves(ema_p)[0]),
         np.asarray(jax.tree.leaves(state.ema_params)[0]), rtol=1e-6,
     )
+
+
+def test_cli_ema_flag_is_tristate():
+    """--ema forces on, --no-ema forces off, absent defers to the config's
+    use_ema (advisor round-4: a shipped config with use_ema true must be
+    overridable off for a single invocation)."""
+    from unetseg_tpu.cli.main import build_parser
+
+    p = build_parser()
+    base = ["predict", "--checkpoint-dir", "x", "--data-root", "y"]
+    assert p.parse_args(base).ema is None
+    assert p.parse_args(base + ["--ema"]).ema is True
+    assert p.parse_args(base + ["--no-ema"]).ema is False
+    # the resolution rule _make_predictor applies:
+    for cfg_ema, arg, want in [(True, None, True), (True, False, False),
+                               (False, None, False), (False, True, True)]:
+        resolved = cfg_ema if arg is None else arg
+        assert resolved is want

@@ -123,3 +123,26 @@ def test_build_overlay_root(tiny_root, tmp_path):
     ))
     assert len(arrays) == 3
     assert (arrays.weight_maps[0] == 0).sum() > 0  # annulus survived resize
+
+
+def test_build_overlay_root_forwards_weight_map_settings(tiny_root, tmp_path):
+    """Rescued frames' regenerated weight maps must honor the dataset's
+    preprocess w0/sigma/mode or the overlay root mixes two weight-map
+    formulas between rescued and passthrough frames (advisor round-4)."""
+    a = str(tmp_path / "ov_a")
+    b = str(tmp_path / "ov_b")
+    build_overlay_root(tiny_root, a, rescue_sequences=["01"],
+                       core_radius=10, ignore_radius=25, w0=10.0, sigma=5.0)
+    build_overlay_root(tiny_root, b, rescue_sequences=["01"],
+                       core_radius=10, ignore_radius=25, w0=30.0, sigma=2.0)
+    wa = np.load(os.path.join(a, "01_ST", "WEIGHT_MAPS", "weight_map_000.npy"))
+    wb = np.load(os.path.join(b, "01_ST", "WEIGHT_MAPS", "weight_map_000.npy"))
+    assert not np.array_equal(wa, wb)
+    # CLI exposes and forwards the settings
+    from unetseg_tpu.cli.main import build_parser
+    args = build_parser().parse_args([
+        "rescue-labels", "--data-root", tiny_root, "--output-root", a,
+        "--rescue-sequences", "01", "--w0", "30", "--sigma", "2",
+        "--mode", "paper",
+    ])
+    assert args.w0 == 30.0 and args.sigma == 2.0 and args.mode == "paper"

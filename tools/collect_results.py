@@ -88,7 +88,12 @@ def main(eval_dir: str, update_latest: bool = False, run_dirs=None,
     if ship and ship not in runs:
         raise SystemExit(f"--ship {ship}: no such eval row under {eval_dir}")
     shipped = ship or next((n for n in ("flagship", "ens") if n in runs), None)
-    top_updated = shipped is not None or mean is not None
+    # seeds-only collections may BOOTSTRAP a headline but never replace an
+    # existing one: overwriting the shipped flagship numbers with lower
+    # single-model means (and re-stamping provenance) requires an explicit
+    # --ship row (advisor round-4 finding)
+    headline_exists = "seg_seq01" in latest
+    top_updated = shipped is not None or (mean is not None and not headline_exists)
     if shipped is not None:
         v = vals_of(runs[shipped])
         latest.update({
@@ -99,7 +104,7 @@ def main(eval_dir: str, update_latest: bool = False, run_dirs=None,
                 f"eval row, pipeline eval at {eval_dir}"
             ),
         })
-    elif mean is not None:
+    elif mean is not None and not headline_exists:
         latest.update({
             "seg_seq01": round(mean[0], 4), "tra_seq01": round(mean[1], 4),
             "seg_seq02": round(mean[3], 4), "tra_seq02": round(mean[4], 4),

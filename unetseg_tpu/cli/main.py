@@ -75,7 +75,9 @@ def _make_predictor(args, cfg: Config, icfg: InferConfig):
         raise SystemExit("error: --checkpoint-dir or --torch-checkpoint required")
     # comma-separated dirs = deep ensemble (probabilities averaged on device)
     dirs = [d for d in args.checkpoint_dir.split(",") if d]
-    use_ema = getattr(args, "ema", False) or getattr(icfg, "use_ema", False)
+    # tri-state: --ema forces on, --no-ema forces off, absent defers to config
+    ema_arg = getattr(args, "ema", None)
+    use_ema = getattr(icfg, "use_ema", False) if ema_arg is None else ema_arg
     if getattr(args, "ema_both", False) or use_ema == "both":
         use_ema = "both"
     if len(dirs) > 1 or use_ema == "both":
@@ -627,6 +629,9 @@ def cmd_rescue_labels(args) -> int:
         core_radius=args.core_radius,
         ignore_radius=args.ignore_radius,
         core_weight=args.core_weight,
+        w0=args.w0,
+        sigma=args.sigma,
+        weight_map_mode=args.mode,
     )
     for seq, st in stats.items():
         print(
@@ -719,8 +724,10 @@ def cmd_pipeline(args) -> int:
             pred_flags += ["--no-temporal-bidi"]
         if getattr(args, "ensemble_merge", None):
             pred_flags += ["--ensemble-merge", args.ensemble_merge]
-        if getattr(args, "ema", False):
+        if getattr(args, "ema", None) is True:
             pred_flags += ["--ema"]
+        elif getattr(args, "ema", None) is False:
+            pred_flags += ["--no-ema"]
         if getattr(args, "ema_both", False):
             pred_flags += ["--ema-both"]
         rc = main(
@@ -830,7 +837,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("infer", help="segment one image")
     _add_common(sp)
     sp.add_argument("--checkpoint-dir", default=None)
-    sp.add_argument("--ema", action="store_true", help="load the EMA weight shadow instead of the raw weights (requires TrainConfig.ema_decay > 0 at training time)")
+    sp.add_argument("--ema", action="store_true", default=None, help="load the EMA weight shadow instead of the raw weights (requires TrainConfig.ema_decay > 0 at training time)")
+    sp.add_argument("--no-ema", dest="ema", action="store_false",
+                    help="force raw weights even if the config sets use_ema")
     sp.add_argument("--torch-checkpoint", default=None,
                     help="reference-format .pth state dict (migration path)")
     sp.add_argument("--input", required=True)
@@ -850,7 +859,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default=None,
                     help="one dir, or comma-separated dirs for a deep "
                          "ensemble (member probabilities averaged on device)")
-    sp.add_argument("--ema", action="store_true", help="load the EMA weight shadow instead of the raw weights (requires TrainConfig.ema_decay > 0 at training time)")
+    sp.add_argument("--ema", action="store_true", default=None, help="load the EMA weight shadow instead of the raw weights (requires TrainConfig.ema_decay > 0 at training time)")
+    sp.add_argument("--no-ema", dest="ema", action="store_false",
+                    help="force raw weights even if the config sets use_ema")
     sp.add_argument("--ema-both", dest="ema_both", action="store_true",
                     help="ensemble: TWO members per checkpoint dir (raw + "
                          "EMA shadow) — 2k-member diversity from k seeds")
@@ -963,7 +974,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("evaluate", help="IoU/Dice against silver truth")
     _add_common(sp)
     sp.add_argument("--checkpoint-dir", default=None)
-    sp.add_argument("--ema", action="store_true", help="load the EMA weight shadow instead of the raw weights (requires TrainConfig.ema_decay > 0 at training time)")
+    sp.add_argument("--ema", action="store_true", default=None, help="load the EMA weight shadow instead of the raw weights (requires TrainConfig.ema_decay > 0 at training time)")
+    sp.add_argument("--no-ema", dest="ema", action="store_false",
+                    help="force raw weights even if the config sets use_ema")
     sp.add_argument("--torch-checkpoint", default=None,
                     help="reference-format .pth state dict (migration path)")
     sp.add_argument("--data-root", default=None)
@@ -1047,6 +1060,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--core-radius", type=float, default=30.0)
     sp.add_argument("--ignore-radius", type=float, default=70.0)
     sp.add_argument("--core-weight", type=float, default=3.0)
+    # regenerated weight maps must match the dataset's preprocess settings
+    # or rescued vs passthrough frames mix two weight-map formulas
+    sp.add_argument("--w0", type=float, default=10.0)
+    sp.add_argument("--sigma", type=float, default=5.0)
+    sp.add_argument("--mode", choices=["reference", "paper"],
+                    default="reference")
     sp.set_defaults(fn=cmd_rescue_labels)
 
     sp = sub.add_parser(
@@ -1107,8 +1126,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ensemble-merge", dest="ensemble_merge",
                     choices=["mean", "gmean", "vote"], default=None,
                     help="forwarded to predict")
-    sp.add_argument("--ema", action="store_true",
+    sp.add_argument("--ema", action="store_true", default=None,
                     help="forwarded to predict: evaluate the EMA weight shadow")
+    sp.add_argument("--no-ema", dest="ema", action="store_false",
+                    help="force raw weights even if the config sets use_ema")
     sp.add_argument("--ema-both", dest="ema_both", action="store_true",
                     help="ensemble: TWO members per checkpoint dir (raw + "
                          "EMA shadow) — 2k-member diversity from k seeds")

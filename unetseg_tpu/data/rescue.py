@@ -109,6 +109,7 @@ def build_overlay_root(
     core_weight: float = 3.0,
     w0: float = 10.0,
     sigma: float = 5.0,
+    weight_map_mode: str = "reference",
 ) -> Dict[str, RescueStats]:
     """Materialize a parallel data root with rescued labels.
 
@@ -180,7 +181,7 @@ def build_overlay_root(
             st.markers_missing += n
             st.core_px += int(((out > 0) & ~(silver > 0)).sum())
             st.ignore_px += int(ignore.sum())
-            wm = weight_map_np(out, w0=w0, sigma=sigma, mode="reference")
+            wm = weight_map_np(out, w0=w0, sigma=sigma, mode=weight_map_mode)
             core = (out > 0) & ~(silver > 0)
             wm = wm.astype(np.float64)
             wm[core] = np.maximum(wm[core], core_weight)
