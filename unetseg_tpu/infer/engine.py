@@ -162,6 +162,13 @@ class Predictor:
                 # it saves was already hidden under compute) — opt-in.
                 want_fe0 = os.environ.get("UNETSEG_FUSED_ENC0", "0") == "1"
                 dec_fuse = os.environ.get("UNETSEG_DEC_FUSE", "head")
+                # cblock middle convs (in-VMEM im2col, conv_cblock.py):
+                # "" off, "all", or a comma list of conv names
+                # ("enc1c1,enc2c0,..."); r5 A/B pending
+                cb_env = os.environ.get("UNETSEG_CBLOCK", "")
+                cblock = frozenset(
+                    t for t in cb_env.split(",") if t
+                ) if cb_env else frozenset()
 
                 def apply_fn(v, x):
                     if x.shape[1] == x.shape[2] and supports(cfg, x.shape[1]):
@@ -170,6 +177,7 @@ class Predictor:
                             v["params"], x, cfg, tier2=t2,
                             mid_hcnw=want_hcnw and not t2,
                             fused_enc0=want_fe0, dec_fuse=dec_fuse,
+                            cblock=cblock,
                         )
                     return base_apply(v, x)
         else:

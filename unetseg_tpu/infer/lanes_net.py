@@ -160,7 +160,16 @@ def _dec_entry_nhwc(skip, up, p0, dtype):
     return jnp.maximum(ys + yu + p0["bias"].astype(dtype), 0)
 
 
-def _conv_nhwc(x, k, b, dtype, relu=True):
+def _conv_nhwc(x, k, b, dtype, relu=True, cblock=False, interpret=False):
+    if cblock and k.shape[3] % 128 == 0:
+        # in-VMEM im2col blocked conv (ops/pallas/conv_cblock.py) — the
+        # UNETSEG_CBLOCK routing for the sub-roofline middle stages
+        from unetseg_tpu.ops.pallas.conv_cblock import conv3x3_cblock
+
+        return conv3x3_cblock(
+            x.astype(dtype), k.astype(dtype), b, relu=relu,
+            interpret=interpret,
+        )
     y = jax.lax.conv_general_dilated(
         x, k.astype(dtype), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -169,12 +178,20 @@ def _conv_nhwc(x, k, b, dtype, relu=True):
     return jnp.maximum(y, 0) if relu else y
 
 
-def _block_nhwc(x, p, dtype, name=""):
+def _block_nhwc(x, p, dtype, name="", cblock=frozenset(), interpret=False):
     for i in range(2):
         c = p[f"conv{i}"]
         with jax.named_scope(f"{name}c{i}"):
-            x = _conv_nhwc(x, c["kernel"], c["bias"], dtype)
+            x = _conv_nhwc(
+                x, c["kernel"], c["bias"], dtype,
+                cblock=_cblock_on(cblock, f"{name}c{i}"),
+                interpret=interpret,
+            )
     return x
+
+
+def _cblock_on(cblock, conv_name: str) -> bool:
+    return "all" in cblock or conv_name in cblock
 
 
 def _tconv_nhwc(x, p, dtype):
@@ -236,6 +253,7 @@ def folded_forward_tier1(
     fuse_dec_entry: bool = True,
     fused_enc0: bool = False,
     dec_fuse: str = "none",
+    cblock: frozenset = frozenset(),
 ) -> jnp.ndarray:
     """(B, S, S, 1) -> (B, s', s', num_classes) f32 logits; `params` is the
     folded tree from infer/folding.fold_batchnorm.
@@ -342,7 +360,8 @@ def folded_forward_tier1(
             xm = jax.lax.reduce_window(
                 xm, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
-        xm = _block_nhwc(xm, params[f"enc{lvl}"], dtype, name=f"enc{lvl}")
+        xm = _block_nhwc(xm, params[f"enc{lvl}"], dtype, name=f"enc{lvl}",
+                         cblock=cblock, interpret=interpret)
         skips.append(xm)
 
     xm = skips[-1]
@@ -358,11 +377,16 @@ def folded_forward_tier1(
                 )
             c1 = params[f"dec{i}"]["conv1"]
             with jax.named_scope(f"dec{i}c1"):
-                xm = _conv_nhwc(xm, c1["kernel"], c1["bias"], dtype)
+                xm = _conv_nhwc(
+                    xm, c1["kernel"], c1["bias"], dtype,
+                    cblock=_cblock_on(cblock, f"dec{i}c1"),
+                    interpret=interpret,
+                )
         else:
             skip_c = center_crop_nhwc(skip, xm.shape[1], xm.shape[2])
             xm = jnp.concatenate([skip_c, xm.astype(dtype)], axis=-1)
-            xm = _block_nhwc(xm, params[f"dec{i}"], dtype, name=f"dec{i}")
+            xm = _block_nhwc(xm, params[f"dec{i}"], dtype, name=f"dec{i}",
+                             cblock=cblock, interpret=interpret)
 
     if tier2:
         # ---- decoder level 1 (tier 2): dense lanes ----
