@@ -1,0 +1,113 @@
+"""post/boundary.grow_instances + the boundary_grow config/CLI plumbing
+(round-5: recovers the membrane ring the vote merges erode — see the
+module docstring for the measured deltas)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from unetseg_tpu.post.boundary import grow_instances
+
+
+def test_grow_into_background_only():
+    m = np.zeros((20, 20), np.int32)
+    m[4:8, 4:8] = 1
+    m[4:8, 9:13] = 2  # 1 px of background membrane between the two cells
+    out = grow_instances(m, 1.0)
+    # labels never rewritten
+    np.testing.assert_array_equal(out[m > 0], m[m > 0])
+    # each cell grew into free background by one pixel
+    assert out[3, 5] == 1 and out[8, 5] == 1 and out[5, 3] == 1
+    assert out[3, 10] == 2 and out[5, 13] == 2
+    # the membrane column between the cells belongs to the NEAREST cell
+    # (never swallowed whole by one side): both labels appear in it
+    membrane = out[4:8, 8]
+    assert set(membrane) <= {1, 2} and len(set(membrane)) >= 1
+
+
+def test_grow_zero_is_identity_and_radius_bounds():
+    rs = np.random.RandomState(0)
+    m = (rs.rand(30, 30) > 0.9).astype(np.int32)
+    np.testing.assert_array_equal(grow_instances(m, 0.0), m)
+    out = grow_instances(m, 2.0)
+    # nothing farther than 2 px from an instance may be labeled
+    from scipy.ndimage import distance_transform_edt
+
+    dist = distance_transform_edt(m == 0)
+    assert (out[(dist > 2.0)] == 0).all()
+
+
+def test_infer_config_and_cli_flag():
+    from unetseg_tpu.cli.main import build_parser
+    from unetseg_tpu.core.config import Config, InferConfig
+
+    assert InferConfig().boundary_grow == 0.0
+    args = build_parser().parse_args(
+        ["predict", "--checkpoint-dir", "x", "--data-root", "y",
+         "--boundary-grow", "1.5"]
+    )
+    assert args.boundary_grow == 1.5
+    # absent flag stays absent (None-default discipline)
+    args = build_parser().parse_args(
+        ["predict", "--checkpoint-dir", "x", "--data-root", "y"]
+    )
+    assert args.boundary_grow is None
+
+
+def test_per_sequence_config_roundtrip(tmp_path):
+    from unetseg_tpu.core.config import Config
+
+    cfg = Config.from_dict({
+        "infer": {"boundary_grow": 1.0},
+        "infer_per_sequence": {"02": {"boundary_grow": 1.5}},
+    })
+    assert cfg.infer.boundary_grow == 1.0
+    assert cfg.infer_per_sequence == {"02": {"boundary_grow": 1.5}}
+    # shipped recipe carries the measured per-sequence optimum
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shipped = Config.from_json_file(
+        os.path.join(repo, "configs", "best_recipe.json")
+    )
+    assert shipped.infer.boundary_grow == 1.0
+    assert shipped.infer_per_sequence["02"]["boundary_grow"] == 1.5
+
+
+def test_predict_applies_boundary_grow(tmp_path):
+    """predict_sequence grows instance masks at write time (binary masks
+    untouched), through the real Predictor on a tiny CPU net."""
+    import jax
+    from PIL import Image
+
+    from unetseg_tpu.core.config import InferConfig, ModelConfig
+    from unetseg_tpu.infer.engine import Predictor
+    from unetseg_tpu.models.unet import UNet, init_unet
+
+    cfg = ModelConfig(base_features=4, compute_dtype="float32")
+    model = UNet(cfg=cfg)
+    v = init_unet(model, jax.random.key(0), input_size=188)
+    rs = np.random.RandomState(0)
+    in_dir = tmp_path / "frames"
+    in_dir.mkdir()
+    for i in range(2):
+        Image.fromarray((rs.rand(188, 188) * 255).astype(np.uint8)).save(
+            in_dir / f"t{i:03d}.tif"
+        )
+
+    def run(grow):
+        icfg = InferConfig(image_size=188, min_cell_size=1, threshold=0.3,
+                           boundary_grow=grow)
+        pred = Predictor(model=model, params=v["params"],
+                         batch_stats=v["batch_stats"], cfg=icfg)
+        od = tmp_path / f"out{grow}"
+        pred.predict_sequence(str(in_dir), str(od / "RES"), str(od / "INST"))
+        return np.array(Image.open(od / "INST" / "m000.tif"))
+
+    base = run(0.0)
+    grown = run(2.0)
+    if base.max() == 0:
+        pytest.skip("random net predicted empty foreground")
+    assert (grown > 0).sum() >= (base > 0).sum()
+    # grown labels are a superset written into former background
+    assert ((base > 0) & (grown != base)).sum() == 0

@@ -226,7 +226,7 @@ def _infer_overrides(args) -> dict:
     boolean flags use store_const(True), so absent flags stay absent."""
     out = {}
     for name in ("threshold", "min_cell_size", "normalize", "standardize",
-                 "tta", "tta_merge", "ensemble_merge"):
+                 "tta", "tta_merge", "ensemble_merge", "boundary_grow"):
         v = getattr(args, name, None)
         if v is not None:
             out[name] = v
@@ -710,7 +710,23 @@ def cmd_pipeline(args) -> int:
             return rc
 
     summary = {}
+    per_seq = _load_config(args).infer_per_sequence if args.config else {}
     for seq in seqs:
+        seq_cfg_flags = cfg_flags
+        if per_seq.get(seq):
+            # materialize a merged per-sequence config (Config.
+            # infer_per_sequence): the shipped recipe can carry sequence-
+            # tuned inference settings (e.g. boundary_grow 1.5 for seq 02)
+            # without ad-hoc flags. CLI flags still win over the merge —
+            # they are appended after --config in the predict invocation.
+            with open(args.config) as f:
+                merged = json.load(f)
+            merged.setdefault("infer", {}).update(per_seq[seq])
+            merged.pop("infer_per_sequence", None)
+            seq_cfg_path = os.path.join(out_dir, f"config_seq{seq}.json")
+            with open(seq_cfg_path, "w") as f:
+                json.dump(merged, f, indent=1)
+            seq_cfg_flags = ["--config", seq_cfg_path]
         pred_flags = ["--tiled"] if args.tiled else []
         if args.resize_output:
             pred_flags += ["--resize-output", str(args.resize_output)]
@@ -724,6 +740,8 @@ def cmd_pipeline(args) -> int:
             pred_flags += ["--no-temporal-bidi"]
         if getattr(args, "ensemble_merge", None):
             pred_flags += ["--ensemble-merge", args.ensemble_merge]
+        if getattr(args, "boundary_grow", None) is not None:
+            pred_flags += ["--boundary-grow", str(args.boundary_grow)]
         if getattr(args, "ema", None) is True:
             pred_flags += ["--ema"]
         elif getattr(args, "ema", None) is False:
@@ -731,7 +749,7 @@ def cmd_pipeline(args) -> int:
         if getattr(args, "ema_both", False):
             pred_flags += ["--ema-both"]
         rc = main(
-            ["predict", *cfg_flags, "--data-root", data_root,
+            ["predict", *seq_cfg_flags, "--data-root", data_root,
              "--sequence", seq, "--checkpoint-dir", ckpt_dir,
              "--output-dir", out_dir, *pred_flags]
         )
@@ -906,6 +924,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="deep-ensemble member merge (binary head): mean, "
                          "geometric mean, or per-member-threshold majority "
                          "vote")
+    sp.add_argument("--boundary-grow", dest="boundary_grow", type=float,
+                    default=None,
+                    help="grow instances up to this many px into background "
+                         "at write time (post/boundary.py; recovers the "
+                         "membrane ring vote merges erode)")
     sp.add_argument("--tta", choices=["none", "flips", "flips8"], default=None,
                     help="test-time augmentation for tiled binary "
                          "prediction: combine probabilities over flips "
@@ -1126,6 +1149,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ensemble-merge", dest="ensemble_merge",
                     choices=["mean", "gmean", "vote"], default=None,
                     help="forwarded to predict")
+    sp.add_argument("--boundary-grow", dest="boundary_grow", type=float,
+                    default=None, help="forwarded to predict")
     sp.add_argument("--ema", action="store_true", default=None,
                     help="forwarded to predict: evaluate the EMA weight shadow")
     sp.add_argument("--no-ema", dest="ema", action="store_false",

@@ -193,6 +193,15 @@ class InferConfig:
     # up ~+0.013 on both sequences and the seq-02 seed spread collapses
     # ~6x (docs/RESULTS.md round-8 table).
     use_ema: bool = False
+    # grow every predicted instance up to this many px into BACKGROUND at
+    # write time (post/boundary.grow_instances): nearest-label assignment,
+    # labels never overwrite labels, so touching-cell membranes stay put.
+    # Recovers the boundary ring the vote merges erode — measured round 5:
+    # seq-01 grow 1.0 TRA +0.0039/DET +0.0039 (SEG +0.0002), seq-02 grow
+    # 1.5 SEG +0.0067/TRA +0.0063/DET +0.0069, divisions intact. 0 = off.
+    # The optimum is sequence-dependent; best_recipe.json ships 1.0 plus a
+    # per-sequence override (Config.infer_per_sequence) of 1.5 for seq 02.
+    boundary_grow: float = 0.0
     # how deep-ensemble MEMBER probabilities merge (infer/engine.py):
     # "mean" | "gmean" | "vote" — same trade-offs as tta_merge (member
     # disagreement concentrates on the membranes between touching cells).
@@ -268,6 +277,12 @@ class Config:
     track: TrackConfig = field(default_factory=TrackConfig)
     eval: EvalConfig = field(default_factory=EvalConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    # per-sequence InferConfig field overrides, e.g.
+    # {"02": {"boundary_grow": 1.5}} — applied by the pipeline driver when
+    # it evaluates each sequence (cli/main.cmd_pipeline). Sequence-tuned
+    # inference settings are standard CTC practice; this keeps them in the
+    # shipped recipe instead of ad-hoc flags.
+    infer_per_sequence: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------ utils
     def replace(self, **kw: Any) -> "Config":
@@ -288,7 +303,7 @@ class Config:
                 if k not in fields:
                     raise KeyError(f"unknown config key {tp.__name__}.{k}")
                 ft = fields[k].type
-                if isinstance(v, dict):
+                if isinstance(v, dict) and k in _SECTION_TYPES:
                     kw[k] = build(_SECTION_TYPES[k], v)
                 else:
                     kw[k] = v

@@ -492,6 +492,10 @@ class Predictor:
                     # at most the first window)
                     bidi_frames.append((num, b, inst))
                 else:
+                    if self.cfg.boundary_grow > 0:
+                        from unetseg_tpu.post.boundary import grow_instances
+
+                        inst = grow_instances(inst, self.cfg.boundary_grow)
                     inst_path = os.path.join(
                         output_instance_dir, f"m{num:03d}.tif"
                     )
@@ -511,6 +515,10 @@ class Predictor:
                 max_frames=self.cfg.temporal_bidi_frames,
             )
             for (num, _, _), inst in zip(bidi_frames, refined):
+                if self.cfg.boundary_grow > 0:
+                    from unetseg_tpu.post.boundary import grow_instances
+
+                    inst = grow_instances(inst, self.cfg.boundary_grow)
                 inst_path = os.path.join(
                     output_instance_dir, f"m{num:03d}.tif"
                 )
