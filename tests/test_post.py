@@ -89,3 +89,42 @@ def test_skimage_connectivity2_semantics():
     # ... and dies at min_size=3 while the 4-px one survives
     inst3 = get_instance_masks(m, min_size=3)
     assert inst3[5, 5] == 0 and inst3[2, 3] != 0
+
+
+def test_temporal_resplit_ignores_subminsize_fragments(monkeypatch):
+    """A watershed FRAGMENT (below min_size, about to die in remove_small)
+    must not count as 'this component is already split' — round-5 fix for
+    the seq-02 frame-51 merge: markers split 17.3k px into 16.7k + 630,
+    the 630 fragment satisfied the old gate, remove_small deleted it, and
+    two tracked cells stayed merged for the rest of the sequence."""
+    import numpy as np
+
+    from unetseg_tpu.post import temporal
+
+    h, w = 60, 100
+    prev = np.zeros((h, w), np.uint16)
+    prev[10:50, 5:48] = 1
+    prev[10:50, 52:95] = 2
+    binary = np.zeros((h, w), bool)
+    binary[10:50, 5:95] = True  # the two cells merged into one component
+
+    def fake_markers(b, marker_frac, smooth_sigma):
+        # one central marker + a spurious tiny-corner marker, so the
+        # marker watershed yields a big basin + a sub-min_size fragment
+        m = np.zeros(b.shape, np.int32)
+        m[30, 50] = 1
+        m[11, 6] = 2  # 6-px corner basin under the EDT watershed
+        from scipy.ndimage import distance_transform_edt
+
+        return m, distance_transform_edt(b).astype(np.float32)
+
+    monkeypatch.setattr(temporal, "distance_markers", fake_markers)
+    out = temporal.temporal_instance_masks(
+        binary, prev, min_size=300, min_overlap=50,
+    )
+    labs = sorted(set(np.unique(out)) - {0})
+    assert len(labs) == 2, f"expected the core-seeded re-split, got {labs}"
+    # each re-split cell sits where its previous-frame cell was
+    a = out[30, 20]
+    b_ = out[30, 80]
+    assert a != 0 and b_ != 0 and a != b_

@@ -83,7 +83,18 @@ def temporal_instance_masks(
             ]
             cur_ids = np.unique(labels[region])
             cur_ids = cur_ids[cur_ids > 0]
-            if len(prev_ids) >= 2 and len(prev_ids) > len(cur_ids):
+            # count only sub-labels that will SURVIVE the min_size filter:
+            # a watershed fragment (e.g. 630 px next to a 16.7k px body,
+            # seq-02 frame 51) used to satisfy "already split here", the
+            # fragment then died in remove_small, and two tracked cells
+            # merged for the rest of the sequence — the round-5 seq-02
+            # mid-sequence NS signature (GT 13/14 at IoU 0.38-0.46).
+            cur_areas = np.bincount(labels[region].ravel())
+            cur_sig = [
+                c for c in cur_ids
+                if c < len(cur_areas) and cur_areas[c] >= min_size
+            ]
+            if len(prev_ids) >= 2 and len(prev_ids) > len(cur_sig):
                 seed = np.where(
                     region & cores & np.isin(prev_inst, prev_ids),
                     prev_inst, 0,
