@@ -111,3 +111,25 @@ def test_predict_applies_boundary_grow(tmp_path):
     assert (grown > 0).sum() >= (base > 0).sum()
     # grown labels are a superset written into former background
     assert ((base > 0) & (grown != base)).sum() == 0
+
+
+def test_predict_applies_per_sequence_override():
+    """cmd_predict merges Config.infer_per_sequence for its sequence:
+    config < per-seq < explicit CLI flag (advisor-style review finding:
+    direct predict/--sequence use must match the pipeline's behavior)."""
+    import argparse
+
+    from unetseg_tpu.cli.main import _seq_infer_cfg
+    from unetseg_tpu.core.config import Config
+
+    cfg = Config.from_dict({
+        "infer": {"boundary_grow": 1.0, "tta": "flips"},
+        "infer_per_sequence": {"02": {"boundary_grow": 1.5}},
+    })
+    ns = argparse.Namespace()  # no CLI flags set
+    assert _seq_infer_cfg(cfg, ns, "01").boundary_grow == 1.0
+    assert _seq_infer_cfg(cfg, ns, "02").boundary_grow == 1.5
+    assert _seq_infer_cfg(cfg, ns, "02").tta == "flips"
+    # explicit CLI flag beats the per-seq override
+    ns2 = argparse.Namespace(boundary_grow=0.0)
+    assert _seq_infer_cfg(cfg, ns2, "02").boundary_grow == 0.0

@@ -26,19 +26,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def grow_instances(m: np.ndarray, k: float) -> np.ndarray:
-    """Grow every instance up to k px into BACKGROUND (nearest-label wins;
-    labels never overwrite other labels)."""
-    from scipy.ndimage import distance_transform_edt
-
-    if k <= 0:
-        return m
-    bg = m == 0
-    dist, (iy, ix) = distance_transform_edt(bg, return_indices=True)
-    out = m.copy()
-    grow = bg & (dist <= k)
-    out[grow] = m[iy[grow], ix[grow]]
-    return out
+from unetseg_tpu.post.boundary import grow_instances  # single source
 
 
 def main(argv=None):

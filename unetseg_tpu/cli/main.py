@@ -218,6 +218,16 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _seq_infer_cfg(cfg: Config, args, sequence: str) -> InferConfig:
+    """InferConfig for one sequence: config < Config.infer_per_sequence
+    (the shipped recipe's sequence-tuned settings, e.g. seq-02
+    boundary_grow 1.5) < explicit CLI flags."""
+    per_seq = cfg.infer_per_sequence.get(sequence, {})
+    return dataclasses.replace(
+        cfg.infer, **{**per_seq, **_infer_overrides(args)}
+    )
+
+
 def _infer_overrides(args) -> dict:
     """InferConfig overrides from EXPLICIT CLI flags only. Flag *defaults*
     must never clobber a --config file's values (a default min_cell_size=15
@@ -263,7 +273,7 @@ def cmd_predict(args) -> int:
     cfg = _load_config(args)
     data_root = args.data_root or cfg.data.data_root
     sequence = args.sequence or cfg.data.sequence
-    icfg = dataclasses.replace(cfg.infer, **_infer_overrides(args))
+    icfg = _seq_infer_cfg(cfg, args, sequence)
     pred = _make_predictor(args, cfg, icfg)
     masks_dir, inst_dir = prediction_dirs(data_root, sequence)
     if args.output_dir:
@@ -312,6 +322,8 @@ def cmd_refine(args) -> int:
         print(f"error: no mask*.tif in {args.masks_dir}", file=sys.stderr)
         return 1
     os.makedirs(args.output_dir, exist_ok=True)
+    grow = (args.boundary_grow if args.boundary_grow is not None
+            else cfg.infer.boundary_grow)
     bins, insts, nums = [], [], []
     for f in masks:
         n = frame_number(f)
@@ -319,8 +331,17 @@ def cmd_refine(args) -> int:
         if not os.path.exists(inst_path):
             print(f"error: missing {inst_path}", file=sys.stderr)
             return 1
-        bins.append(read_image(f) > 0)
-        insts.append(read_image(inst_path))
+        b = read_image(f) > 0
+        inst = read_image(inst_path)
+        if grow > 0:
+            # instance masks written with boundary_grow extend past the
+            # binary foreground; the sweep's region bookkeeping is derived
+            # from the binary, so trim the grown ring first (and re-grow
+            # the refined result below) or adopted components keep a
+            # stale-labeled ring that becomes a spurious thin instance
+            inst = np.where(b, inst, 0).astype(inst.dtype)
+        bins.append(b)
+        insts.append(inst)
         nums.append(n)
     refined = refine_backward(
         bins, insts,
@@ -329,13 +350,16 @@ def cmd_refine(args) -> int:
         area_guard=cfg.infer.temporal_area_guard,
         max_frames=args.max_frames,
     )
-    changed = 0
-    for n, r in zip(nums, refined):
-        write_mask_u16(os.path.join(args.output_dir, f"m{n:03d}.tif"), r)
     changed = sum(
         int(np.any(np.asarray(a) != np.asarray(b)))
         for a, b in zip(insts, refined)
     )
+    if grow > 0:
+        from unetseg_tpu.post.boundary import grow_instances
+
+        refined = [grow_instances(r, grow) for r in refined]
+    for n, r in zip(nums, refined):
+        write_mask_u16(os.path.join(args.output_dir, f"m{n:03d}.tif"), r)
     print(f"refined {len(refined)} frames ({changed} changed) "
           f"-> {args.output_dir}")
     return 0
@@ -710,23 +734,7 @@ def cmd_pipeline(args) -> int:
             return rc
 
     summary = {}
-    per_seq = _load_config(args).infer_per_sequence if args.config else {}
     for seq in seqs:
-        seq_cfg_flags = cfg_flags
-        if per_seq.get(seq):
-            # materialize a merged per-sequence config (Config.
-            # infer_per_sequence): the shipped recipe can carry sequence-
-            # tuned inference settings (e.g. boundary_grow 1.5 for seq 02)
-            # without ad-hoc flags. CLI flags still win over the merge —
-            # they are appended after --config in the predict invocation.
-            with open(args.config) as f:
-                merged = json.load(f)
-            merged.setdefault("infer", {}).update(per_seq[seq])
-            merged.pop("infer_per_sequence", None)
-            seq_cfg_path = os.path.join(out_dir, f"config_seq{seq}.json")
-            with open(seq_cfg_path, "w") as f:
-                json.dump(merged, f, indent=1)
-            seq_cfg_flags = ["--config", seq_cfg_path]
         pred_flags = ["--tiled"] if args.tiled else []
         if args.resize_output:
             pred_flags += ["--resize-output", str(args.resize_output)]
@@ -749,7 +757,7 @@ def cmd_pipeline(args) -> int:
         if getattr(args, "ema_both", False):
             pred_flags += ["--ema-both"]
         rc = main(
-            ["predict", *seq_cfg_flags, "--data-root", data_root,
+            ["predict", *cfg_flags, "--data-root", data_root,
              "--sequence", seq, "--checkpoint-dir", ckpt_dir,
              "--output-dir", out_dir, *pred_flags]
         )
@@ -962,6 +970,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="where refined m*.tif land")
     sp.add_argument("--marker-frac", dest="marker_frac", type=float,
                     default=0.5)
+    sp.add_argument("--boundary-grow", dest="boundary_grow", type=float,
+                    default=None,
+                    help="grow radius the input instance masks were written "
+                         "with (default: the --config value); trimmed before "
+                         "the sweep and re-applied after")
     sp.add_argument("--max-frames", dest="max_frames", type=int, default=8,
                     help="sweep depth from the sequence start (whole-"
                          "sequence sweeps pre-split dividing parents — a "

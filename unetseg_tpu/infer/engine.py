@@ -492,14 +492,10 @@ class Predictor:
                     # at most the first window)
                     bidi_frames.append((num, b, inst))
                 else:
-                    if self.cfg.boundary_grow > 0:
-                        from unetseg_tpu.post.boundary import grow_instances
-
-                        inst = grow_instances(inst, self.cfg.boundary_grow)
                     inst_path = os.path.join(
                         output_instance_dir, f"m{num:03d}.tif"
                     )
-                    write_mask_u16(inst_path, inst)
+                    write_mask_u16(inst_path, self._grown(inst))
                     written.append(inst_path)
             if progress:
                 progress(min(start + bs, len(frames)), len(frames))
@@ -515,16 +511,22 @@ class Predictor:
                 max_frames=self.cfg.temporal_bidi_frames,
             )
             for (num, _, _), inst in zip(bidi_frames, refined):
-                if self.cfg.boundary_grow > 0:
-                    from unetseg_tpu.post.boundary import grow_instances
-
-                    inst = grow_instances(inst, self.cfg.boundary_grow)
                 inst_path = os.path.join(
                     output_instance_dir, f"m{num:03d}.tif"
                 )
-                write_mask_u16(inst_path, inst)
+                write_mask_u16(inst_path, self._grown(inst))
                 written.append(inst_path)
         return written
+
+    def _grown(self, inst: np.ndarray) -> np.ndarray:
+        """Instance-write epilogue: the configured boundary grow
+        (post/boundary.py). Applied only at write time so the temporal /
+        bidi state machines always see ungrown instances."""
+        if self.cfg.boundary_grow > 0:
+            from unetseg_tpu.post.boundary import grow_instances
+
+            return grow_instances(inst, self.cfg.boundary_grow)
+        return inst
 
     # ------------------------------------------------------- construction
     @classmethod
