@@ -26,7 +26,8 @@ def _ref(x, k, b, relu):
     ],
 )
 @pytest.mark.parametrize("relu", [True, False])
-def test_cblock_matches_lax(b, h, w, ci, co, relu):
+@pytest.mark.parametrize("mode", ["im2col", "dots9"])
+def test_cblock_matches_lax(b, h, w, ci, co, relu, mode):
     rs = np.random.RandomState(0)
     x = rs.randn(b, h, w, ci).astype(np.float32)
     k = (rs.randn(3, 3, ci, co) * 0.1).astype(np.float32)
@@ -34,7 +35,7 @@ def test_cblock_matches_lax(b, h, w, ci, co, relu):
     want = _ref(x, k, bias, relu)
     got = np.asarray(conv3x3_cblock(
         jnp.asarray(x), jnp.asarray(k), jnp.asarray(bias),
-        relu=relu, interpret=True,
+        relu=relu, interpret=True, mode=mode,
     ))
     assert got.shape == (b, h - 2, w - 2, co)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)

@@ -54,7 +54,7 @@ def bench(b, h, w, ci, co, mode, dtype=jnp.bfloat16):
                 )
                 y = jnp.maximum(y + bias.astype(c.dtype), 0)
             else:
-                y = conv3x3_cblock(c, wt, bias)
+                y = conv3x3_cblock(c, wt, bias, mode=mode)
             ysum = jnp.sum(y, axis=-1, keepdims=True).astype(c.dtype)
             c2 = c * 0.999 + jnp.pad(
                 jnp.broadcast_to(ysum, y.shape[:3] + (ci,)),
@@ -81,8 +81,8 @@ def main():
     ]
     for name, b, h, w, ci, co in shapes:
         row = [name]
-        for mode in ("conv", "cblock"):
-            if mode == "cblock" and co % 128:
+        for mode in ("conv", "im2col", "dots9"):
+            if mode != "conv" and co % 128:
                 row.append("cblock:   n/a (CO<128)")
                 continue
             try:

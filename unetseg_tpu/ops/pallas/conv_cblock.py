@@ -54,7 +54,7 @@ def pack_w_cblock(w_hwio: jnp.ndarray, ci_pad: int = 0) -> jnp.ndarray:
 
 
 def _kernel_cblock(x_ref, w_ref, b_ref, out_ref, win_ref, bt_ref, sem,
-                   *, relu, ci, co, w2, nby, nb):
+                   *, relu, ci, co, w2, nby, nb, mode):
     bi = pl.program_id(0)
     by = pl.program_id(1)
     step = bi * nby + by
@@ -77,19 +77,36 @@ def _kernel_cblock(x_ref, w_ref, b_ref, out_ref, win_ref, bt_ref, sem,
     dma(step % 2, step).wait()
     win = win_ref.at[step % 2]
 
-    # im2col: bt[r, x, (3*dy+dx)*CI + c] = win[r+dy, x+dx, c].
-    # Static row offsets, static sublane (W) shifts, lane offsets at CI
-    # multiples of 128 — every store is tile-aligned.
-    for dy in range(3):
-        for dx in range(3):
-            t = 3 * dy + dx
-            bt_ref[:, :, t * ci:(t + 1) * ci] = win[dy:dy + TH, dx:dx + w2, :]
+    if mode == "im2col":
+        # im2col: bt[r, x, (3*dy+dx)*CI + c] = win[r+dy, x+dx, c].
+        # Static row offsets, static sublane (W) shifts, lane offsets at
+        # CI multiples of 128 — every store is tile-aligned.
+        for dy in range(3):
+            for dx in range(3):
+                t = 3 * dy + dx
+                bt_ref[:, :, t * ci:(t + 1) * ci] = (
+                    win[dy:dy + TH, dx:dx + w2, :])
 
-    # one MXU dot for the whole block: (TH*W2, 9*CI) @ (9*CI, CO)
-    acc = jnp.dot(
-        bt_ref[:].reshape(TH * w2, 9 * ci), w_ref[:],
-        preferred_element_type=jnp.float32,
-    )
+        # one MXU dot for the whole block: (TH*W2, 9*CI) @ (9*CI, CO)
+        acc = jnp.dot(
+            bt_ref[:].reshape(TH * w2, 9 * ci), w_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        # dots9: 9 accumulating (TH*W2, CI) @ (CI, CO) dots straight off
+        # the window buffer — no im2col materialization, saving the
+        # 2x(9*CI) VMEM round-trip that binds the im2col mode. The dx
+        # shifts are unaligned sublane loads (relayout cost only).
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                t = 3 * dy + dx
+                part = jnp.dot(
+                    win[dy:dy + TH, dx:dx + w2, :].reshape(TH * w2, ci),
+                    w_ref[t * ci:(t + 1) * ci, :],
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
     acc = acc + b_ref[:]
     if relu:
         acc = jnp.maximum(acc, 0.0)
@@ -97,7 +114,7 @@ def _kernel_cblock(x_ref, w_ref, b_ref, out_ref, win_ref, bt_ref, sem,
 
 
 def conv3x3_cblock(x, w_hwio, bias, relu: bool = True,
-                   interpret: bool = False):
+                   interpret: bool = False, mode: str = "im2col"):
     """Fused VALID 3x3 conv + bias + ReLU on an NHWC tensor.
 
     x:      (B, H, W, CI) bf16/f32. CI is zero-padded to a lane multiple
@@ -106,6 +123,8 @@ def conv3x3_cblock(x, w_hwio, bias, relu: bool = True,
             that are sliced off).
     w_hwio: (3, 3, CI, CO) kernel; CO must be a multiple of 128.
     bias:   (CO,) f32.
+    mode:   "im2col" (one big dot off a materialized 9*CI block) or
+            "dots9" (9 accumulating dots off the window buffer).
     Returns (B, H-2, W-2, CO) in x.dtype.
     """
     b, h, w, ci = x.shape
@@ -115,7 +134,11 @@ def conv3x3_cblock(x, w_hwio, bias, relu: bool = True,
     if cip != ci:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cip - ci)))
     w2 = -(-(w - 2) // 8) * 8          # padded out width (sublane multiple)
-    wp = w2 + 2                        # input width the window DMA reads
+    # The window DMA source slice must be 8-aligned along the sublane (W)
+    # dim even when "full" (Mosaic memref_slice rule), so the staged input
+    # width is w2+2 rounded up to the next sublane multiple; the kernel
+    # only reads columns [0, w2+2) of the window buffer.
+    wp = -(-(w2 + 2) // 8) * 8
     nby = -(-(h - 2) // TH)
     hp = (nby - 1) * TH + WIN          # input rows the last window reads
     if wp != w or hp > h:
@@ -128,7 +151,10 @@ def conv3x3_cblock(x, w_hwio, bias, relu: bool = True,
 
     kernel = functools.partial(
         _kernel_cblock, relu=relu, ci=cip, co=co, w2=w2, nby=nby, nb=b,
+        mode=mode,
     )
+    # dots9 never touches bt; shrink its scratch to one tile.
+    bt_shape = (TH, w2, 9 * cip) if mode == "im2col" else (8, 1, 128)
     out = pl.pallas_call(
         kernel,
         grid=(b, nby),
@@ -144,7 +170,7 @@ def conv3x3_cblock(x, w_hwio, bias, relu: bool = True,
         out_shape=jax.ShapeDtypeStruct((b, nby * TH, w2, co), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, WIN, wp, cip), x.dtype),  # window double buffer
-            pltpu.VMEM((TH, w2, 9 * cip), x.dtype),  # im2col block
+            pltpu.VMEM(bt_shape, x.dtype),           # im2col block
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
