@@ -44,8 +44,11 @@ BASE=(--tta none --ensemble-merge mean --no-temporal-bidi)
 FLAG=(--tta flips --tta-merge vote --ensemble-merge vote --temporal-bidi)
 
 # ---- wave 1: budget sweep, seed-interleaved, eval-after-train ----
+# `touch /tmp/stop_runbook` finishes the current member then jumps to
+# collection (session-end discipline: the driver bench needs a free chip).
 for s in 0 1 2; do
   for b in 120 160; do
+    [ -f /tmp/stop_runbook ] && { log "stop_runbook set - bailing"; break 2; }
     train_one t${b}_s$s $s $b
     eval_one "t${b}_s$s"       $RUN/t${b}_s$s "01 02" "${BASE[@]}"
     eval_one "t${b}_s${s}_ema" $RUN/t${b}_s$s "01 02" "${BASE[@]}" --ema
@@ -59,6 +62,9 @@ eval_one flagship120 "$ENS120" "01 02" "${FLAG[@]}"
 eval_one flagship160 "$ENS160" "01 02" "${FLAG[@]}"
 
 # ---- wave 3: 80-epoch member-count sweep on top of f0..f2 ----
+# Kill-switch: `touch /tmp/skip_wave3` at any point skips the wave (used
+# near session end so the driver's bench gets a free chip).
+[ -f /tmp/skip_wave3 ] && SKIP_WAVE3=1
 if [ "${SKIP_WAVE3:-0}" != 1 ]; then
   for s in 3 4 5; do
     train_one e$s $s 80
