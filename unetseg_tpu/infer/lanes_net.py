@@ -162,13 +162,17 @@ def _dec_entry_nhwc(skip, up, p0, dtype):
 
 def _conv_nhwc(x, k, b, dtype, relu=True, cblock=False, interpret=False):
     if cblock and k.shape[3] % 128 == 0:
-        # in-VMEM im2col blocked conv (ops/pallas/conv_cblock.py) — the
-        # UNETSEG_CBLOCK routing for the sub-roofline middle stages
+        # blocked conv (ops/pallas/conv_cblock.py) — the UNETSEG_CBLOCK
+        # routing for the sub-roofline middle stages; UNETSEG_CBLOCK_MODE
+        # picks the formulation (im2col default, dots9)
+        import os
+
         from unetseg_tpu.ops.pallas.conv_cblock import conv3x3_cblock
 
         return conv3x3_cblock(
             x.astype(dtype), k.astype(dtype), b, relu=relu,
             interpret=interpret,
+            mode=os.environ.get("UNETSEG_CBLOCK_MODE", "im2col"),
         )
     y = jax.lax.conv_general_dilated(
         x, k.astype(dtype), (1, 1), "VALID",
