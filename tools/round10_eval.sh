@@ -43,6 +43,13 @@ eval_one() { # name ckpt seqs [flags...]
 BASE=(--tta none --ensemble-merge mean --no-temporal-bidi)
 FLAG=(--tta flips --tta-merge vote --ensemble-merge vote --temporal-bidi)
 
+# ---- wave 0: per-conv trace attribution (VERDICT item 1, ~10 min) ----
+if [ ! -f "$EVAL/kprofile_conv.log" ]; then
+  log "kprofile_conv (per-stage XLA conv trace attribution)"
+  timeout 1800 python tools/kprofile_conv.py > "$EVAL/kprofile_conv.log" 2>&1 \
+    || log "kprofile FAILED rc=$?"
+fi
+
 # ---- wave 1: budget sweep, seed-interleaved, eval-after-train ----
 # `touch /tmp/stop_runbook` finishes the current member then jumps to
 # collection (session-end discipline: the driver bench needs a free chip).
