@@ -47,7 +47,11 @@ def trace_one(name, tmpdir):
 
     @jax.jit
     def run(x, wt, bias):
-        def body(c, _):
+        # Python-unrolled (NOT lax.scan): scan bodies trace as one opaque
+        # `while` op in the profiler device plane; unrolling keeps every
+        # conv a separately attributed op.
+        c = x
+        for _ in range(LEN):
             with jax.named_scope(name):
                 y = jax.lax.conv_general_dilated(
                     c, wt, (1, 1), "VALID",
@@ -56,14 +60,11 @@ def trace_one(name, tmpdir):
                 )
                 y = jnp.maximum(y + bias.astype(c.dtype), 0)
             ysum = jnp.sum(y, axis=-1, keepdims=True).astype(c.dtype)
-            c2 = c * 0.999 + jnp.pad(
+            c = c * 0.999 + jnp.pad(
                 jnp.broadcast_to(ysum, y.shape[:3] + (ci,)),
                 ((0, 0), (1, 1), (1, 1), (0, 0)),
             ) * 1e-6
-            return c2, ()
-
-        out, _ = jax.lax.scan(body, x, None, length=LEN)
-        return jnp.sum(out[0, 0, :8].astype(jnp.float32))
+        return jnp.sum(c[0, 0, :8].astype(jnp.float32))
 
     float(run(x, wt, bias))  # compile+warm
     with jax.profiler.trace(tmpdir):
