@@ -57,6 +57,21 @@ def _bwd_reduce_mode() -> str:
     return os.environ.get("UNETSEG_BN_BWD", "sum")
 
 
+def _tie_from_y() -> bool:
+    """A/B switch (UNETSEG_BN_TIE=y): derive the ReLU gradient gate in the
+    backward from the SAVED forward output (y > 0) instead of recomputing
+    pre = z*a+b. The backward reduce/dz passes are VPU-op-bound, not
+    bandwidth-bound (the r7 "dots" MXU-reduce A/B was neutral), so cutting
+    the per-element op count — one compare replaces an fma + two compares
+    + two selects, in BOTH the G1/G2 pass and the dz pass — is the lever.
+    y > 0 iff pre > 0 exactly; the only behavior change is the
+    measure-zero pre == 0 tie (0.5 -> 0), which matches the reference's
+    torch ReLU backward (grad 0 at input 0) rather than JAX's maximum
+    convention. y is already live as the downstream conv's residual, so
+    saving it adds no HBM footprint."""
+    return os.environ.get("UNETSEG_BN_TIE", "") == "y"
+
+
 def _reduce2(gp, z, axes, lane_axis):
     """G1 = sum(gp*z), G2 = sum(gp) over `axes`, f32 accumulation.
     mode "dots": contract the minor (lane) axis on the MXU via a ones
@@ -153,9 +168,10 @@ def make_bn_relu_p2(nch: int, h_valid: int, w_valid: int, item_stride: int,
             z, gamma, beta, run_mean, run_var, item_mask
         )
         mean, var_raw, var, n, unbias, a2, b2 = res
+        ytie = (y,) if relu and _tie_from_y() else ()
         return (y, new_mean, new_var), (
-            z, gamma, item_mask, mean, var_raw, var, n, unbias, a2, b2
-        )
+            z, gamma, item_mask, mean, var_raw, var, n, unbias, a2, b2,
+        ) + ytie
 
     def bwd(res, cts):
         # Everything elementwise stays in the activation dtype (bf16 in
@@ -164,13 +180,15 @@ def make_bn_relu_p2(nch: int, h_valid: int, w_valid: int, item_stride: int,
         # bf16 arrays — an explicit .astype(f32) on the full tensors here
         # measured +5 ms/step of materialized converts/muls.
         gy, ct_mean, ct_var = cts
-        z, gamma, item_mask, mean, var_raw, var, n, unbias, a2, b2 = res
+        z, gamma, item_mask, mean, var_raw, var, n, unbias, a2, b2 = res[:10]
         H, C2, L = z.shape
         inv = jax.lax.rsqrt(var + eps)
         a = gamma * inv
         rowm = (jnp.arange(H) < h_valid)[:, None, None]
         z0 = jnp.where(rowm, z, 0)
-        if relu:
+        if relu and _tie_from_y():
+            gp = jnp.where(res[10] > 0, gy, jnp.zeros((), gy.dtype))
+        elif relu:
             pre = z0 * a2[None, :, None] + b2[None, :, None]
             gp = gy * _tie(pre).astype(gy.dtype)
         else:
@@ -264,21 +282,24 @@ def make_bn_relu_dense(h_valid: int, w_valid: int, item_stride: int,
             z, gamma, beta, run_mean, run_var, item_mask
         )
         mean, var_raw, var, n, unbias, ac, bc = res
+        ytie = (y,) if relu and _tie_from_y() else ()
         return (y, new_mean, new_var), (
-            z, gamma, item_mask, mean, var_raw, var, n, unbias, ac, bc
-        )
+            z, gamma, item_mask, mean, var_raw, var, n, unbias, ac, bc,
+        ) + ytie
 
     def bwd(res, cts):
         # bf16-native elementwise, f32-accumulating reductions (see the p2
         # variant for why)
         gy, ct_mean, ct_var = cts
-        z, gamma, item_mask, mean, var_raw, var, n, unbias, ac, bc = res
+        z, gamma, item_mask, mean, var_raw, var, n, unbias, ac, bc = res[:10]
         H, C, L = z.shape
         inv = jax.lax.rsqrt(var + eps)
         a = gamma * inv
         rowm = (jnp.arange(H) < h_valid)[:, None, None]
         z0 = jnp.where(rowm, z, 0)
-        if relu:
+        if relu and _tie_from_y():
+            gp = jnp.where(res[10] > 0, gy, jnp.zeros((), gy.dtype))
+        elif relu:
             pre = z0 * ac[None, :, None] + bc[None, :, None]
             gp = gy * _tie(pre).astype(gy.dtype)
         else:
@@ -364,18 +385,21 @@ def make_bn_relu_nhwc(momentum: float, eps: float, relu: bool = True,
             z, gamma, beta, run_mean, run_var, item_mask
         )
         mean, var_raw, var, n, unbias, ac, bc = res
+        ytie = (y,) if relu and _tie_from_y() else ()
         return (y, new_mean, new_var), (
-            z, gamma, item_mask, mean, var_raw, var, n, unbias, ac, bc
-        )
+            z, gamma, item_mask, mean, var_raw, var, n, unbias, ac, bc,
+        ) + ytie
 
     def bwd(res, cts):
         # bf16-native elementwise, f32-accumulating reductions (see the p2
         # variant for why)
         gy, ct_mean, ct_var = cts
-        z, gamma, item_mask, mean, var_raw, var, n, unbias, ac, bc = res
+        z, gamma, item_mask, mean, var_raw, var, n, unbias, ac, bc = res[:10]
         inv = jax.lax.rsqrt(var + eps)
         a = gamma * inv
-        if relu:
+        if relu and _tie_from_y():
+            gp = jnp.where(res[10] > 0, gy, jnp.zeros((), gy.dtype))
+        elif relu:
             pre = z * ac + bc
             gp = gy * _tie(pre).astype(gy.dtype)
         else:
