@@ -343,3 +343,41 @@ def test_bias_stop_gradient_default():
         np.testing.assert_allclose(
             np.asarray(g_sg[i]), np.asarray(g_ff[i]), rtol=2e-5, atol=2e-6
         )
+
+
+@pytest.mark.parametrize("variant", ["p2", "dense", "nhwc"])
+def test_tie_from_y_matches_pre_recompute(variant, monkeypatch):
+    """UNETSEG_BN_TIE=y (ReLU gate from the saved forward output) must
+    reproduce the default pre-recompute backward exactly on generic data —
+    the modes differ only at exact pre == 0 ties, measure-zero here. The
+    default path is autodiff-parity-tested above, so equality transfers.
+    The env flag is read at TRACE time, so each grad is evaluated (untraced
+    jax.grad) with the flag set around the call."""
+    z, gamma, beta, rm, rv, im = _p2_inputs(True)
+    if variant == "p2":
+        fn = make_bn_relu_p2(NCH, H_VALID, W_VALID, STRIDE, MOM, EPS,
+                             relu=True, masked=True)
+    elif variant == "dense":
+        z = z[:, :NCH]
+        fn = make_bn_relu_dense(H_VALID, W_VALID, STRIDE, MOM, EPS,
+                                masked=True)
+    else:
+        z = jax.random.normal(jax.random.key(3), (N_ITEMS, 4, 5, NCH))
+        im = jnp.array([True, False, True])
+        fn = make_bn_relu_nhwc(MOM, EPS, masked=True)
+    wy, wm, wv = _loss_weights(z.shape)
+
+    def loss(z, gamma, beta, rm, rv):
+        y, nm, nv = fn(z, gamma, beta, rm, rv, im)
+        return (jnp.sum(wy * jnp.nan_to_num(y))
+                + jnp.sum(wm * nm) + jnp.sum(wv * nv))
+
+    grad = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+    monkeypatch.setenv("UNETSEG_BN_TIE", "")
+    g_pre = grad(z, gamma, beta, rm, rv)
+    monkeypatch.setenv("UNETSEG_BN_TIE", "y")
+    g_tie = grad(z, gamma, beta, rm, rv)
+    for a, b in zip(g_tie, g_pre):
+        np.testing.assert_array_equal(
+            np.nan_to_num(np.asarray(a)), np.nan_to_num(np.asarray(b))
+        )

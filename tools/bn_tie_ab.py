@@ -73,16 +73,19 @@ def main(aug):
         return run, one
 
     os.environ["UNETSEG_FUSED_BN"] = "1"
-    runs, ones = {}, {}
+    runs, params1 = {}, {}
     for name, env in (("pre", ""), ("tie-y", "y")):
         os.environ["UNETSEG_BN_TIE"] = env
-        runs[name], ones[name] = build()
+        runs[name], one = build()
+        # the env flag is read at TRACE time, so the one-step parity
+        # params must be computed inside this loop, while the flag is set
+        params1[name] = one(state0)
         for L in (LO, HI):  # compile + warm
             float(runs[name](state0, L))
 
     # one-step parity drift
-    pa = ones["pre"](state0)
-    pb = ones["tie-y"](state0)
+    pa = params1["pre"]
+    pb = params1["tie-y"]
     drift = max(
         float(jnp.max(jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32))))
         for x, y in zip(jax.tree_util.tree_leaves(pa),

@@ -24,7 +24,10 @@ import numpy as np
 from profile_step import parse  # same trace-plane rollup
 
 SHAPES = {
-    # name: (b, h, w, ci, co) — in-context tile geometries (PROF_SIZE=700)
+    # name: (b, h, w, ci, co) — in-context tile geometries (PROF_SIZE=700).
+    # Keep in sync with tools/kbench_cblock.py's table (same stages; this
+    # one adds enc2c0 + the deep enc4c1 contrast, drops the CO<128 dec3c1
+    # the cblock kernel cannot run).
     "enc1c0": (16, 348, 348, 64, 128),
     "enc1c1": (16, 346, 346, 128, 128),
     "enc2c0": (16, 172, 172, 128, 256),
@@ -80,8 +83,10 @@ def main():
         tmpdir = f"/tmp/kprof_{name}"
         os.system(f"rm -rf {tmpdir}")
         fl = trace_one(name, tmpdir)
-        print(f"\n===== {name} {SHAPES[name]}  ({fl/LEN/1e9:.1f} GFLOP/iter"
-              f" x {LEN} scan steps) =====")
+        # parse() prints ms per TRACE iteration = LEN unrolled convs, so
+        # TF/s for one conv = (GFLOP/conv x LEN) / (conv-op ms/iter)
+        print(f"\n===== {name} {SHAPES[name]}  ({fl/LEN/1e9:.1f} GFLOP/conv"
+              f" x {LEN} unrolled convs per iter) =====")
         parse(tmpdir, n_iters=ITERS)
 
 

@@ -28,7 +28,11 @@ train_one() { # name seed epochs
     --data-root "$DATA" --sequences 01 02 --seed "$seed" --epochs "$epochs" \
     --checkpoint-dir $RUN/$name --metrics-jsonl $EVAL/train_$name.jsonl \
     > $EVAL/train_$name.log 2>&1 \
-    && touch $RUN/$name/.done || log "train $name FAILED rc=$?"
+    && { touch $RUN/$name/.done;
+         # a (re)train invalidates any eval made from partial checkpoints
+         # (e.g. a timeout mid-run followed by a re-fire)
+         rm -f "$EVAL/$name/summary.json" "$EVAL/${name}_ema/summary.json"; } \
+    || log "train $name FAILED rc=$?"
 }
 eval_one() { # name ckpt seqs [flags...]
   local name=$1 ckpt=$2 seqs=$3; shift 3
@@ -63,15 +67,19 @@ for s in 0 1 2; do
 done
 
 # ---- wave 2: flagship ensembles per budget ----
-ENS120="$RUN/t120_s0,$RUN/t120_s1,$RUN/t120_s2"
-ENS160="$RUN/t160_s0,$RUN/t160_s1,$RUN/t160_s2"
-eval_one flagship120 "$ENS120" "01 02" "${FLAG[@]}"
-eval_one flagship160 "$ENS160" "01 02" "${FLAG[@]}"
+# stop_runbook skips these too (the switch means "free the chip ASAP")
+if [ ! -f /tmp/stop_runbook ]; then
+  ENS120="$RUN/t120_s0,$RUN/t120_s1,$RUN/t120_s2"
+  ENS160="$RUN/t160_s0,$RUN/t160_s1,$RUN/t160_s2"
+  eval_one flagship120 "$ENS120" "01 02" "${FLAG[@]}"
+  eval_one flagship160 "$ENS160" "01 02" "${FLAG[@]}"
+fi
 
 # ---- wave 3: 80-epoch member-count sweep on top of f0..f2 ----
 # Kill-switch: `touch /tmp/skip_wave3` at any point skips the wave (used
-# near session end so the driver's bench gets a free chip).
-[ -f /tmp/skip_wave3 ] && SKIP_WAVE3=1
+# near session end so the driver's bench gets a free chip); stop_runbook
+# implies it.
+[ -f /tmp/skip_wave3 ] || [ -f /tmp/stop_runbook ] && SKIP_WAVE3=1
 if [ "${SKIP_WAVE3:-0}" != 1 ]; then
   for s in 3 4 5; do
     train_one e$s $s 80

@@ -21,12 +21,14 @@ and dies in VMEM. The known risk is VPU bandwidth on the 9x window
 re-copy (~2.8 TB/s demand at the enc1 shape) — tools/kbench_cblock.py
 measures it per stage against XLA's in-context numbers.
 
-Constraints (asserted): CI, CO multiples of 128 (lane-aligned im2col
-stores; pad 64-channel stages), W' = W2 + 2 with W2 a multiple of 8
-(callers pad the input width), rows padded to the block grid (callers pad;
-garbage tail rows flow out and are sliced off, same protocol as
-conv3x3.py). reference: models/unet_model.py:23-33 (the conv stages this
-accelerates).
+Constraints: CO a multiple of 128 (asserted); CI is zero-padded to a lane
+multiple internally. The staged input width is W2 + 2 rounded up to the
+next sublane multiple — a Mosaic memref_slice rule: even a full-extent
+window-DMA slice must be 8-aligned along the sublane (W) dim — and the
+kernel reads only the first W2 + 2 staged columns. Rows are padded to the
+block grid internally; garbage tail rows flow out and are sliced off,
+same protocol as conv3x3.py. reference: models/unet_model.py:23-33 (the
+conv stages this accelerates).
 """
 
 from __future__ import annotations
